@@ -60,6 +60,9 @@ def _parse_value(s: str) -> Any:
         return s
     if v is None and s.strip() not in ("", "null", "~", "None"):
         return s
+    # yaml parses "- x" style block sequences; CLI/resolver args never mean that
+    if isinstance(v, (list, dict)) and not s.strip().startswith(("[", "{")):
+        return s
     return v
 
 
