@@ -14,3 +14,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
