@@ -1,20 +1,13 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
-Must set env vars before jax is imported anywhere (SURVEY.md §4: multi-device
-tests via xla_force_host_platform_device_count).
+The container boots with an `axon` TPU PJRT plugin pre-registered at
+interpreter start (sitecustomize), so env vars are too late — switch the
+platform through jax.config before any backend is initialized (SURVEY.md §4:
+multi-device tests on CPU device-count forcing).
 """
 
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
-try:
-    jax.config.update("jax_num_cpu_devices", 8)
-except Exception:
-    pass
