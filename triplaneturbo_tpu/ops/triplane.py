@@ -1,0 +1,151 @@
+"""Triplane feature fetch: plane rotation, projection and bilinear sampling.
+
+Behavioral rebuild of the EG3D-style sampling path of the reference
+(/root/reference/triplaneturbo_executable/utils/general_utils.py:62-110 and
+custom/triplaneturbo/models/geometry/utils.py:111-161), designed TPU-first:
+
+* plane projection is direct coordinate indexing (the reference bmm's with
+  inverse plane bases; the three bases are involutions so the projections are
+  simply (x,y), (x,z), (z,y) — no 3x3 matmuls needed);
+* sampling is the AD-composable gather+lerp of :mod:`.grid_sample` (the
+  reference dispatched to a CUDA grad² kernel when grads were required);
+* layout is channels-last: space caches are ``[B, P, H, W, C]``.
+
+Plane order convention (identical to the reference): within a 3-plane group,
+index 0 is the XY plane, 1 the XZ plane, 2 the ZY plane; a 6-plane dual cache
+stacks [geo_xy, geo_xz, geo_zy, tex_xy, tex_xz, tex_zy].
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .grid_sample import grid_sample_2d
+
+
+def rotate_planes(space_cache: jax.Array, mode: Optional[str] = "v1") -> jax.Array:
+    """Rotate plane feature maps to the generator's image convention.
+
+    Matches the reference ``interpolate_encodings`` pre-rotation
+    (triplaneturbo_executable/models/geometry/sd_dual_triplanes.py:213-250):
+    v1: xy plane transposed (H<->W), xz plane rotated 180°, zy plane rotated
+    90° clockwise. v2 differs only in the xy plane (row-wise flip).
+
+    Args:
+      space_cache: ``[B, P, H, W, C]`` with P % 3 == 0; plane index ``p % 3``
+        selects the xy/xz/zy role.
+      mode: None (no-op), "v1" or "v2".
+    """
+    if mode is None:
+        return space_cache
+    if mode not in ("v1", "v2"):
+        raise ValueError(f"Unknown rotate_planes mode {mode}")
+    B, P, H, W, C = space_cache.shape
+    assert P % 3 == 0, "plane axis must be a multiple of 3"
+
+    xy = space_cache[:, 0::3]
+    xz = space_cache[:, 1::3]
+    zy = space_cache[:, 2::3]
+
+    if mode == "v1":
+        xy_r = jnp.swapaxes(xy, 2, 3)  # transpose H/W
+    else:  # v2: flip along W
+        xy_r = jnp.flip(xy, axis=3)
+    # rot90 k=2 over (H, W): flip both
+    xz_r = jnp.flip(xz, axis=(2, 3))
+    # rot90 k=-1 (clockwise) over (H, W): out[i, j] = in[H-1-j, i]
+    zy_r = jnp.flip(jnp.swapaxes(zy, 2, 3), axis=3)
+
+    out = jnp.stack([xy_r, xz_r, zy_r], axis=2)  # [B, P//3, 3, H', W', C]
+    return out.reshape(B, P, *xy_r.shape[2:])
+
+
+def project_onto_planes(coordinates: jax.Array) -> jax.Array:
+    """Project 3D points onto the three canonical planes.
+
+    Equivalent to the reference's inverse-plane-basis bmm
+    (general_utils.py:68-81) with the EG3D bugfixed bases, which reduce to
+    plain coordinate selection: plane0 -> (x, y), plane1 -> (x, z),
+    plane2 -> (z, y).
+
+    Args:
+      coordinates: ``[..., 3]``.
+
+    Returns:
+      ``[..., 3, 2]`` per-plane 2D coordinates, (u, v) = (grid x, grid y).
+    """
+    x, y, z = coordinates[..., 0], coordinates[..., 1], coordinates[..., 2]
+    p0 = jnp.stack([x, y], axis=-1)
+    p1 = jnp.stack([x, z], axis=-1)
+    p2 = jnp.stack([z, y], axis=-1)
+    return jnp.stack([p0, p1, p2], axis=-2)
+
+
+def sample_from_planes(
+    plane_features: jax.Array,
+    coordinates: jax.Array,
+    interpolate_feat: Optional[str] = "v1",
+    box_warp: float = 2.0,
+) -> jax.Array:
+    """Fetch per-point features from a 3-plane cache.
+
+    Matches reference ``sample_from_planes`` (general_utils.py:84-103):
+    scale coords by 2/box_warp, project onto planes, bilinearly sample each
+    plane, then v1: sum over planes -> [N, M, C]; v2: concat -> [N, M, 3C].
+
+    Args:
+      plane_features: ``[N, 3, H, W, C]``.
+      coordinates: ``[N, M, 3]`` world coords (typically in [-1, 1]).
+    """
+    N, n_planes, H, W, C = plane_features.shape
+    assert n_planes == 3
+    M = coordinates.shape[1]
+
+    coords = (2.0 / box_warp) * coordinates
+    proj = project_onto_planes(coords)  # [N, M, 3, 2]
+    proj = jnp.swapaxes(proj, 1, 2)  # [N, 3, M, 2]
+
+    feats = grid_sample_2d(
+        plane_features.reshape(N * 3, H, W, C),
+        proj.reshape(N * 3, M, 2),
+    ).reshape(N, 3, M, C)
+
+    if interpolate_feat in (None, "v1"):
+        return feats.sum(axis=1)
+    if interpolate_feat == "v2":
+        return jnp.moveaxis(feats, 1, 2).reshape(N, M, 3 * C)
+    raise ValueError(f"Unknown interpolate_feat {interpolate_feat}")
+
+
+def scale_tensor(dat, inp_scale, tgt_scale):
+    """Affine rescale from ``inp_scale`` range to ``tgt_scale`` range.
+
+    Same contract as the reference helper (general_utils.py:12-25); scales may
+    be 2-tuples or ``[2, D]`` arrays (e.g. a bbox).
+    """
+    if inp_scale is None:
+        inp_scale = (0, 1)
+    if tgt_scale is None:
+        tgt_scale = (0, 1)
+    dat = (dat - inp_scale[0]) / (inp_scale[1] - inp_scale[0])
+    return dat * (tgt_scale[1] - tgt_scale[0]) + tgt_scale[0]
+
+
+def contract_to_unisphere(x: jax.Array, bbox: jax.Array, unbounded: bool = False) -> jax.Array:
+    """Rescale points from bbox to [-1, 1]^3 (general_utils.py:27-39).
+
+    The unbounded branch smoothly contracts far-field points; TriplaneTurbo
+    always runs bounded.
+    """
+    if not unbounded:
+        return scale_tensor(x, bbox, (-1, 1))
+    x = scale_tensor(x, bbox, (-1, 1))
+    x = x * 2 - 1
+    mag = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    mask = (mag[..., 0] > 1)[..., None]
+    contracted = (2 - 1 / jnp.maximum(mag, 1e-8)) * (x / jnp.maximum(mag, 1e-8))
+    x = jnp.where(mask, contracted, x)
+    return x / 4 + 0.5
