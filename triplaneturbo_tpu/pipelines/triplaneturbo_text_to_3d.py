@@ -163,16 +163,21 @@ class TriplaneTurboTextTo3DPipeline:
 
         key = jax.random.PRNGKey(seed)
         k_geo, k_txt = jax.random.split(key)
-        R = cfg.latent_resolution
+        # params are spatial-size independent; init on minimal spatial dims so
+        # building the full SD-2.1 stack costs milliseconds, not a compile of
+        # the 32x32 graph (the real graph compiles on first __call__)
+        R = 8
         noisy = jnp.zeros((1, cfg.n_planes, R, R, cfg.latent_channels))
         text = jnp.zeros((1, text_cfg.max_length, text_cfg.width))
         pts = jnp.zeros((1, 8, 3))
-        geometry_params = geometry.init(
-            k_geo, noisy, text, jnp.zeros(()), pts, method=geometry.init_all
-        )
-        text_params = text_encoder.init(
-            k_txt, jnp.zeros((1, text_cfg.max_length), jnp.int32)
-        )
+        # jit the inits: eager flax init dispatches thousands of tiny ops,
+        # which is pathological over a remote-tunneled TPU
+        geometry_params = jax.jit(
+            lambda k: geometry.init(k, noisy, text, jnp.zeros(()), pts, method=geometry.init_all)
+        )(k_geo)
+        text_params = jax.jit(
+            lambda k: text_encoder.init(k, jnp.zeros((1, text_cfg.max_length), jnp.int32))
+        )(k_txt)
 
         # optional converted weights
         if pretrained_model_name_or_path:
@@ -236,18 +241,18 @@ class TriplaneTurboTextTo3DPipeline:
         cfg = self.cfg
         text_embed, _ = self.text_encoder.apply(text_params, input_ids)
 
-        ts = ddim_timesteps(self.schedule, cfg.num_inference_steps)
-        latents = init_latents
-        latents_denoised = latents
-        for t in ts:  # 4 static iterations, trace-unrolled
-            t_arr = jnp.asarray(t, jnp.int32)
+        ts = jnp.asarray(ddim_timesteps(self.schedule, cfg.num_inference_steps), jnp.int32)
+
+        def ddim_body(carry, t_arr):
+            latents, _ = carry
             eps = self.geometry.apply(
                 geometry_params, latents, text_embed, t_arr, method=self.geometry.denoise
             )
             out = ddim_step(self.schedule, eps, t_arr, latents, cfg.num_inference_steps)
-            latents = out.prev_sample
-            latents_denoised = out.pred_original_sample
-        latents = latents_denoised
+            return (out.prev_sample, out.pred_original_sample), None
+
+        # scan: the UNet body compiles ONCE for all 4 steps
+        (_, latents), _ = jax.lax.scan(ddim_body, (init_latents, init_latents), ts)
 
         space_cache = self.geometry.apply(
             geometry_params, latents, method=self.geometry.decode
