@@ -3,30 +3,27 @@
 Replaces the reference's CUDA ``diso.DiffMC`` helper
 (/root/reference/threestudio/models/isosurface.py:19-65) and the PyMCubes CPU
 fallback (:71-123). TPU/XLA requires static shapes, so extraction writes into
-fixed-capacity vertex/face buffers with validity masks (SURVEY.md §2.6 #4).
+fixed-capacity vertex/face buffers with validity masks (SURVEY §2.6 #4).
 
 Algorithm: **marching tetrahedra** on the canonical 6-tet decomposition of
-each grid cell (the decomposition around the main diagonal v0→v6). All case
-tables are *derived programmatically at import time* from first principles
-(inside/outside bit patterns + a geometric orientation check) — no opaque
-copied 256-case tables. Compared to classic MC this emits ~2x triangles but
-identical surfaces; a classic-MC fast path can be added later behind the same
-API.
+each grid cell. All case tables are *derived programmatically at import time*
+from first principles (inside/outside bit patterns + a geometric orientation
+check) — no opaque copied 256-case tables.
 
-Key properties:
-  * vertices are unique per global edge (7 edge classes per grid vertex:
-    3 axis edges, 3 face diagonals, 1 body diagonal), so the mesh is welded
-    exactly like diso's output;
-  * vertex positions are differentiable w.r.t. both the SDF values (through
-    the edge interpolation weight) and the per-grid-vertex deformation field
-    (diso DiffMC's deformable grid, isosurface.py:53-65);
-  * topology (which edges/cells are active) is data-dependent but the output
-    buffers are static: inactive slots are masked.
+TPU-first implementation strategy (v2, scatter-free):
+  * edge activity for all 7 edge classes (3 axes, 3 face diagonals, 1 body
+    diagonal) is computed by shifted XORs of the occupancy grid — pure
+    elementwise ops, no gathers;
+  * compaction (active edges -> vertex slots, active cells -> face slots)
+    uses exclusive cumsums plus a ``searchsorted`` inverse — gather-only,
+    because XLA:TPU lowers scatters to extremely slow/compile-heavy code;
+  * only ``max_verts`` edges and ``max_cells`` cells are materialized, so all
+    downstream math is capacity-sized, not grid-sized.
 
-Deformation convention: deformed grid position = (idx + deform_scale *
-tanh(deformation)) / (R - 1), keeping every vertex inside its half-cell
-(deform_scale<=0.5) — the tanh bounding mirrors the reference's marching-tet
-helper (threestudio/models/isosurface.py:193-200).
+Properties kept from v1: welded vertices (unique per global edge),
+differentiable vertex positions w.r.t. SDF (edge interpolation) and the
+per-grid-vertex deformation field (tanh-bounded, mirroring the reference MT
+helper isosurface.py:193-200); topology is stop-gradiented.
 """
 
 from __future__ import annotations
@@ -42,11 +39,6 @@ import numpy as np
 # static table construction (numpy, import time)
 # ---------------------------------------------------------------------------
 
-# cube corners indexed by (x, y, z) bit vector
-_CUBE_CORNERS = np.array(list(itertools.product((0, 1), repeat=3)), dtype=np.int32)
-# (x,y,z) tuples in lexicographic order: 0:(0,0,0) 1:(0,0,1) 2:(0,1,0) ...
-
-# global edge classes: direction vectors
 EDGE_CLASS_DIRS = np.array(
     [
         [1, 0, 0],  # 0: +x
@@ -61,9 +53,8 @@ EDGE_CLASS_DIRS = np.array(
 )
 _DIR_TO_CLASS = {tuple(d): i for i, d in enumerate(EDGE_CLASS_DIRS)}
 
-# 6 tetrahedra along monotone axis paths (0,0,0) -> (1,1,1)
 _AXIS_VECS = {0: (1, 0, 0), 1: (0, 1, 0), 2: (0, 0, 1)}
-_TET_CORNERS = []  # [6][4][3]
+_TET_CORNERS = []
 for perm in itertools.permutations((0, 1, 2)):
     p0 = np.zeros(3, np.int32)
     p1 = p0 + _AXIS_VECS[perm[0]]
@@ -74,27 +65,21 @@ _TET_CORNERS = np.stack(_TET_CORNERS)  # [6, 4, 3]
 
 _TET_EDGE_PAIRS = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
 
-# per tet, per tet-edge: global class id and base corner offset inside the cell
 TET_EDGE_CLASS = np.zeros((6, 6), np.int32)
 TET_EDGE_BASE = np.zeros((6, 6, 3), np.int32)
 for t in range(6):
     for e, (a, b) in enumerate(_TET_EDGE_PAIRS):
         qa, qb = _TET_CORNERS[t, a], _TET_CORNERS[t, b]
-        d = qb - qa
-        TET_EDGE_CLASS[t, e] = _DIR_TO_CLASS[tuple(d)]
+        TET_EDGE_CLASS[t, e] = _DIR_TO_CLASS[tuple(qb - qa)]
         TET_EDGE_BASE[t, e] = qa
 
 
 def _build_tet_tri_table() -> Tuple[np.ndarray, np.ndarray]:
-    """Derive the marching-tetrahedra triangulation for all 6 tets x 16 cases.
+    """Derive marching-tetrahedra triangulations for all 6 tets x 16 cases.
 
-    Returns:
-      tri_edges: [6, 16, 2, 3] int32 — tet-edge indices of up to 2 triangles
-        (unused entries = 0)
-      tri_count: [6, 16] int32 — number of emitted triangles (0, 1 or 2)
-
-    Orientation: triangle normals point from the inside region (sdf < iso)
-    toward the outside, computed geometrically from the canonical tet.
+    Returns (tri_edges [6,16,2,3], tri_count [6,16]); triangle normals point
+    from inside (sdf<iso) to outside, fixed by a geometric check on the
+    canonical tet.
     """
     tri_edges = np.zeros((6, 16, 2, 3), np.int32)
     tri_count = np.zeros((6, 16), np.int32)
@@ -106,7 +91,7 @@ def _build_tet_tri_table() -> Tuple[np.ndarray, np.ndarray]:
     for t in range(6):
         corners = _TET_CORNERS[t].astype(np.float64)
         midpoints = {
-            i: 0.5 * (corners[a] + corners[b]) for (a, b), i in ((p, edge_of[p]) for p in _TET_EDGE_PAIRS)
+            edge_of[p]: 0.5 * (corners[p[0]] + corners[p[1]]) for p in _TET_EDGE_PAIRS
         }
         for case in range(16):
             inside = [i for i in range(4) if case >> i & 1]
@@ -121,49 +106,87 @@ def _build_tet_tri_table() -> Tuple[np.ndarray, np.ndarray]:
             elif len(inside) == 2:
                 a, b = inside
                 c, d = outside
-                # quad cycle: (a,c) -> (a,d) -> (b,d) -> (b,c)
                 e_ac, e_ad, e_bd, e_bc = (
-                    edge_idx(a, c),
-                    edge_idx(a, d),
-                    edge_idx(b, d),
-                    edge_idx(b, c),
+                    edge_idx(a, c), edge_idx(a, d), edge_idx(b, d), edge_idx(b, c)
                 )
                 tris = [[e_ac, e_ad, e_bd], [e_ac, e_bd, e_bc]]
             if not tris:
                 continue
-            # orientation: normal should point inside -> outside
-            in_centroid = corners[inside].mean(axis=0)
-            out_centroid = corners[outside].mean(axis=0)
-            want = out_centroid - in_centroid
+            want = corners[outside].mean(axis=0) - corners[inside].mean(axis=0)
             fixed = []
             for tri in tris:
                 p0, p1, p2 = (midpoints[e] for e in tri)
-                n = np.cross(p1 - p0, p2 - p0)
-                if np.dot(n, want) < 0:
+                if np.dot(np.cross(p1 - p0, p2 - p0), want) < 0:
                     tri = [tri[0], tri[2], tri[1]]
                 fixed.append(tri)
             tri_count[t, case] = len(fixed)
-            for k, tri in enumerate(fixed):
-                tri_edges[t, case, k] = tri
+            for k2, tri in enumerate(fixed):
+                tri_edges[t, case, k2] = tri
     return tri_edges, tri_count
 
 
 TET_TRI_EDGES, TET_TRI_COUNT = _build_tet_tri_table()
 
-# flattened candidate-triangle tables: each (tet, case) has exactly 2
-# candidate slots; slot k valid iff k < tri_count
-_CAND_VALID = (np.arange(2)[None, None, :] < TET_TRI_COUNT[..., None]).astype(np.int32)  # [6,16,2]
+# flattened per-cell candidate tables indexed by a 8-bit cube case:
+# cube case bit i = occupancy of cube corner i, corners ordered by
+# (x, y, z) bits -> index x*4 + y*2 + z
+_CUBE_CORNER_IDX = {(x, y, z): x * 4 + y * 2 + z for x in (0, 1) for y in (0, 1) for z in (0, 1)}
+
+# per cube-case [256]: candidate triangles [12] -> (valid, 3 x (class, base_corner))
+CELL_TRI_VALID = np.zeros((256, 12), np.int32)
+CELL_TRI_CLASS = np.zeros((256, 12, 3), np.int32)
+CELL_TRI_BASE = np.zeros((256, 12, 3), np.int32)  # cube corner index of edge base
+for cube_case in range(256):
+    occ8 = [(cube_case >> i) & 1 for i in range(8)]
+    slot = 0
+    for t in range(6):
+        tet_case = 0
+        for ci in range(4):
+            corner = tuple(_TET_CORNERS[t, ci])
+            if occ8[_CUBE_CORNER_IDX[corner]]:
+                tet_case |= 1 << ci
+        cnt = TET_TRI_COUNT[t, tet_case]
+        for k in range(2):
+            if k < cnt:
+                CELL_TRI_VALID[cube_case, slot] = 1
+                for v in range(3):
+                    e = TET_TRI_EDGES[t, tet_case, k, v]
+                    CELL_TRI_CLASS[cube_case, slot, v] = TET_EDGE_CLASS[t, e]
+                    b = TET_EDGE_BASE[t, e]
+                    CELL_TRI_BASE[cube_case, slot, v] = _CUBE_CORNER_IDX[tuple(b)]
+            slot += 1
+CELL_TRI_COUNT = CELL_TRI_VALID.sum(axis=1).astype(np.int32)
+
+# cube corner offsets by corner index
+CUBE_CORNER_OFFSETS = np.zeros((8, 3), np.int32)
+for (x, y, z), i in _CUBE_CORNER_IDX.items():
+    CUBE_CORNER_OFFSETS[i] = (x, y, z)
 
 
 class ExtractedMesh(NamedTuple):
-    """Fixed-capacity mesh: only the first n_verts/n_faces entries are real."""
+    """Fixed-capacity mesh: only entries with mask True are real."""
 
-    verts: jax.Array  # [max_verts, 3] float, normalized grid coords in [0, 1]
+    verts: jax.Array  # [max_verts, 3] normalized grid coords in [0, 1]
     faces: jax.Array  # [max_faces, 3] int32 (invalid faces point at vert 0)
     vert_mask: jax.Array  # [max_verts] bool
     face_mask: jax.Array  # [max_faces] bool
     n_verts: jax.Array  # [] int32 (clamped to capacity)
     n_faces: jax.Array  # [] int32
+
+
+def _inverse_compact(csum: jax.Array, capacity: int) -> Tuple[jax.Array, jax.Array]:
+    """Scatter-free compaction inverse.
+
+    Given an inclusive cumsum ``csum`` of a 0/1 activity mask, return
+    (ids, valid): for each output slot s < capacity, the index of the s-th
+    active element (via binary search), and whether it exists.
+    """
+    total = csum[-1]
+    slots = jnp.arange(capacity, dtype=csum.dtype) + 1
+    ids = jnp.searchsorted(csum, slots, side="left")
+    valid = slots <= total
+    ids = jnp.where(valid, ids, 0)
+    return ids.astype(jnp.int32), valid
 
 
 def marching_tets(
@@ -172,165 +195,135 @@ def marching_tets(
     isovalue: float = 0.0,
     max_verts: int = 65536,
     max_faces: int = 131072,
+    max_cells: Optional[int] = None,
     deform_scale: float = 0.5,
 ) -> ExtractedMesh:
     """Extract a welded triangle mesh from a dense SDF grid.
 
     Args:
       sdf: ``[R, R, R]`` level values at grid vertices (axis order x, y, z).
-      deformation: optional ``[R, R, R, 3]`` raw deformation (tanh-bounded
-        inside, like the reference's deformable marching cubes).
-      isovalue: level-set value.
-      max_verts / max_faces: static output capacities; overflow is dropped.
-      deform_scale: half-cell bound on the deformation (<= 0.5).
+      deformation: optional ``[R, R, R, 3]`` raw deformation (tanh-bounded).
+      max_verts / max_faces / max_cells: static capacities; overflow dropped.
 
-    Returns:
-      :class:`ExtractedMesh` with vertices in normalized [0, 1] coordinates
-      (multiply/rescale downstream exactly like the reference helper's
-      points_range handling, mesh_exporter.py:110-136).
+    Returns vertices in normalized [0, 1] grid coordinates (rescale downstream
+    like the reference helper, mesh_exporter.py:110-136).
     """
     R = sdf.shape[0]
     assert sdf.shape == (R, R, R)
+    if max_cells is None:
+        max_cells = max(max_faces // 4, 1024)
     nv = R * R * R
+    f32 = sdf.dtype
 
-    occ = jax.lax.stop_gradient(sdf < isovalue)  # inside
-    occ_flat = occ.reshape(-1)
+    occ = jax.lax.stop_gradient(sdf < isovalue)
     sdf_flat = sdf.reshape(-1)
 
-    idx_grid = jnp.stack(
-        jnp.meshgrid(jnp.arange(R), jnp.arange(R), jnp.arange(R), indexing="ij"),
-        axis=-1,
-    )  # [R,R,R,3] int
+    # ---- edge activity: 7 shifted XORs, zero gathers ----------------------
+    def shifted_neq(d):
+        dx, dy, dz = (int(v) for v in d)
+        a = occ[: R - dx if dx else R, : R - dy if dy else R, : R - dz if dz else R]
+        b = occ[dx:, dy:, dz:]
+        neq = a ^ b
+        return jnp.pad(neq, ((0, dx), (0, dy), (0, dz)))
 
-    # deformed vertex positions (normalized)
-    pos = idx_grid.astype(sdf.dtype)
-    if deformation is not None:
-        pos = pos + deform_scale * jnp.tanh(deformation)
-    pos = pos / (R - 1)
-    pos_flat = pos.reshape(-1, 3)
+    edge_active = jnp.stack([shifted_neq(d) for d in EDGE_CLASS_DIRS])  # [7,R,R,R]
+    ea_flat = edge_active.reshape(-1)
 
-    def flat_id(ijk):
-        return (ijk[..., 0] * R + ijk[..., 1]) * R + ijk[..., 2]
+    vcsum = jnp.cumsum(ea_flat.astype(jnp.int32))  # [7*nv]
+    n_verts_total = vcsum[-1]
+    # per-edge vertex slot (0-based); only meaningful where active
+    edge_slot = vcsum - 1
 
-    # ---- global edges: 7 classes x R^3 base vertices -----------------------
+    # ---- vertex buffer (gather-only compaction) ---------------------------
+    edge_ids, vert_valid = _inverse_compact(vcsum, max_verts)  # [max_verts]
+    cls = edge_ids // nv
+    base = edge_ids % nv
+    bi = base // (R * R)
+    bj = (base // R) % R
+    bk = base % R
     dirs = jnp.asarray(EDGE_CLASS_DIRS)  # [7, 3]
-    base = idx_grid.reshape(-1, 3)  # [nv, 3]
-    # endpoint ids per class: [7, nv]
-    end = base[None, :, :] + dirs[:, None, :]
-    in_bounds = jnp.all(end <= R - 1, axis=-1)  # [7, nv]
-    end_id = flat_id(jnp.clip(end, 0, R - 1))  # [7, nv]
-    base_id = flat_id(base)[None, :].repeat(7, axis=0)  # [7, nv]
+    d = dirs[cls]
+    ei = bi + d[:, 0]
+    ej = bj + d[:, 1]
+    ek = bk + d[:, 2]
+    end = (jnp.clip(ei, 0, R - 1) * R + jnp.clip(ej, 0, R - 1)) * R + jnp.clip(ek, 0, R - 1)
 
-    occ0 = occ_flat[base_id]
-    occ1 = occ_flat[end_id]
-    edge_active = in_bounds & (occ0 != occ1)  # [7, nv]
-
-    # vertex slots by exclusive cumsum over the flattened edge table
-    active_flat = edge_active.reshape(-1)
-    csum = jnp.cumsum(active_flat.astype(jnp.int32))
-    n_verts_total = csum[-1]
-    slot_flat = jnp.where(active_flat, csum - 1, max_verts)  # OOB -> dropped
-    slot_flat = jnp.where(slot_flat >= max_verts, max_verts, slot_flat)
-
-    # interpolated positions on active edges
-    s0 = sdf_flat[base_id.reshape(-1)]
-    s1 = sdf_flat[end_id.reshape(-1)]
+    s0 = sdf_flat[base]
+    s1 = sdf_flat[end]
     denom = s1 - s0
-    safe_denom = jnp.where(jnp.abs(denom) < 1e-12, jnp.where(denom < 0, -1e-12, 1e-12), denom)
-    tval = jnp.clip((isovalue - s0) / safe_denom, 0.0, 1.0)
-    p0 = pos_flat[base_id.reshape(-1)]
-    p1 = pos_flat[end_id.reshape(-1)]
-    vpos = p0 + tval[:, None] * (p1 - p0)
+    safe = jnp.where(jnp.abs(denom) < 1e-12, jnp.where(denom < 0, -1e-12, 1e-12), denom)
+    tval = jnp.clip((isovalue - s0) / safe, 0.0, 1.0)
 
-    verts = jnp.zeros((max_verts + 1, 3), sdf.dtype).at[slot_flat].set(vpos, mode="drop")[:-1]
-    vert_mask = jnp.zeros((max_verts + 1,), bool).at[slot_flat].set(active_flat, mode="drop")[:-1]
+    p0 = jnp.stack([bi, bj, bk], axis=-1).astype(f32)
+    p1 = jnp.stack([ei, ej, ek], axis=-1).astype(f32)
+    if deformation is not None:
+        dflat = deform_scale * jnp.tanh(deformation.reshape(-1, 3))
+        p0 = p0 + dflat[base]
+        p1 = p1 + dflat[end]
+    vpos = (p0 + tval[:, None] * (p1 - p0)) / (R - 1)
+    vpos = jnp.where(vert_valid[:, None], vpos, 0.0)
 
-    # edge -> vertex slot lookup table [7 * nv]
-    edge_vert_slot = slot_flat  # already flat in (class, base) order
-
-    # ---- cells & tets ------------------------------------------------------
+    # ---- active cells ------------------------------------------------------
     Rc = R - 1
-    cell_base = jnp.stack(
-        jnp.meshgrid(jnp.arange(Rc), jnp.arange(Rc), jnp.arange(Rc), indexing="ij"),
-        axis=-1,
-    ).reshape(-1, 3)  # [nc, 3]
-    nc = cell_base.shape[0]
+    # cube case per cell: 8 shifted occupancy slices -> 8-bit code
+    case = jnp.zeros((Rc, Rc, Rc), jnp.int32)
+    for idx in range(8):
+        ox, oy, oz = (int(v) for v in CUBE_CORNER_OFFSETS[idx])
+        sl = occ[ox : ox + Rc, oy : oy + Rc, oz : oz + Rc].astype(jnp.int32)
+        case = case + (sl << idx)
+    tri_count_tbl = jnp.asarray(CELL_TRI_COUNT)
+    cell_tris = tri_count_tbl[case.reshape(-1)]  # [Rc^3] 0..12
+    cell_active = cell_tris > 0
 
-    tet_corners = jnp.asarray(_TET_CORNERS)  # [6, 4, 3]
-    # corner occupancy: [nc, 6, 4]
-    corner_ids = flat_id(cell_base[:, None, None, :] + tet_corners[None, :, :, :])
-    corner_occ = occ_flat[corner_ids]
-    case = (
-        corner_occ[..., 0] * 1
-        + corner_occ[..., 1] * 2
-        + corner_occ[..., 2] * 4
-        + corner_occ[..., 3] * 8
-    ).astype(jnp.int32)  # [nc, 6]
+    ccsum = jnp.cumsum(cell_active.astype(jnp.int32))
+    cell_ids, cell_valid = _inverse_compact(ccsum, max_cells)  # [max_cells]
+    ccase = case.reshape(-1)[cell_ids]  # [max_cells]
+    ci = cell_ids // (Rc * Rc)
+    cj = (cell_ids // Rc) % Rc
+    ck = cell_ids % Rc
 
-    # candidate triangles: [nc, 6, 2] validity + [nc, 6, 2, 3] tet-edge ids
-    cand_valid = jnp.asarray(_CAND_VALID)[jnp.arange(6)[None, :], case]  # [nc, 6, 2]
-    tri_edges = jnp.asarray(TET_TRI_EDGES)[jnp.arange(6)[None, :], case]  # [nc, 6, 2, 3]
-
-    # map tet-edge id -> global edge flat index = class * nv + flat(base_cell + base_off)
-    te_class = jnp.asarray(TET_EDGE_CLASS)  # [6, 6]
-    te_base = jnp.asarray(TET_EDGE_BASE)  # [6, 6, 3]
-    tet_ax = jnp.arange(6)[None, :, None, None]  # broadcast over [nc, 6, 2, 3]
-    cls = te_class[tet_ax, tri_edges]  # [nc, 6, 2, 3]
-    boff = te_base[tet_ax, tri_edges]  # [nc, 6, 2, 3, 3]
-    gbase = flat_id(cell_base[:, None, None, None, :] + boff)  # [nc, 6, 2, 3]
-    gedge = cls * nv + gbase
-
-    tri_vert_slots = edge_vert_slot[gedge]  # [nc, 6, 2, 3]
-
-    # face slots by cumsum over candidates
-    cand_flat = cand_valid.reshape(-1).astype(jnp.int32)
-    fcsum = jnp.cumsum(cand_flat)
+    # ---- faces -------------------------------------------------------------
+    cand_valid = jnp.asarray(CELL_TRI_VALID)[ccase] * cell_valid[:, None].astype(jnp.int32)
+    fcsum = jnp.cumsum(cand_valid.reshape(-1))  # [max_cells * 12]
     n_faces_total = fcsum[-1]
-    fslot = jnp.where(cand_flat > 0, fcsum - 1, max_faces)
-    fslot = jnp.where(fslot >= max_faces, max_faces, fslot)
+    cand_ids, face_valid = _inverse_compact(fcsum, max_faces)  # [max_faces]
+    f_cell = cand_ids // 12  # index into compacted cells
+    f_slot = cand_ids % 12
 
-    tri_flat = tri_vert_slots.reshape(-1, 3)
-    # invalid vertex slots (== max_verts) only occur on overflow; clamp to 0
-    tri_flat = jnp.where(tri_flat >= max_verts, 0, tri_flat)
+    f_case = ccase[f_cell]
+    f_ci = ci[f_cell]
+    f_cj = cj[f_cell]
+    f_ck = ck[f_cell]
+    tri_cls = jnp.asarray(CELL_TRI_CLASS)[f_case, f_slot]  # [max_faces, 3]
+    tri_basec = jnp.asarray(CELL_TRI_BASE)[f_case, f_slot]  # [max_faces, 3]
+    boff = jnp.asarray(CUBE_CORNER_OFFSETS)[tri_basec]  # [max_faces, 3, 3]
+    gi = f_ci[:, None] + boff[..., 0]
+    gj = f_cj[:, None] + boff[..., 1]
+    gk = f_ck[:, None] + boff[..., 2]
+    gedge = tri_cls * nv + (gi * R + gj) * R + gk  # [max_faces, 3]
 
-    faces = (
-        jnp.zeros((max_faces + 1, 3), jnp.int32).at[fslot].set(tri_flat, mode="drop")[:-1]
-    )
-    face_mask = (
-        jnp.zeros((max_faces + 1,), bool).at[fslot].set(cand_flat > 0, mode="drop")[:-1]
-    )
+    slots = edge_slot[gedge]  # [max_faces, 3]
+    # drop faces referencing out-of-capacity vertices
+    in_cap = (slots < max_verts).all(axis=-1)
+    face_valid = face_valid & in_cap
+    faces = jnp.where(face_valid[:, None], jnp.minimum(slots, max_verts - 1), 0).astype(jnp.int32)
 
     return ExtractedMesh(
-        verts=verts,
+        verts=vpos,
         faces=faces,
-        vert_mask=vert_mask,
-        face_mask=face_mask,
+        vert_mask=vert_valid,
+        face_mask=face_valid,
         n_verts=jnp.minimum(n_verts_total, max_verts),
         n_faces=jnp.minimum(n_faces_total, max_faces),
     )
 
 
-def force_field_crossing(
-    sdf: jax.Array,
-    resolution: int,
-) -> jax.Array:
-    """Branchless empty-field fallback (InstantMesh-style center/border forcing).
-
-    Reference behavior (generative_space_mesh_rasterize_renderer.py:481-512):
-    when the SDF has no zero crossing, push the grid center below zero and the
-    border above zero so extraction always yields a small central blob. Here
-    it is fully vectorized/branchless so it can live inside jit.
-
-    Args:
-      sdf: ``[R**3]`` or ``[R, R, R]`` SDF values.
-    Returns:
-      SDF of the same shape, adjusted only when no crossing exists.
-    """
+def force_field_crossing(sdf: jax.Array, resolution: int) -> jax.Array:
+    """Branchless empty-field fallback (InstantMesh-style center/border forcing,
+    reference generative_space_mesh_rasterize_renderer.py:481-512)."""
     R = resolution
     flat = sdf.reshape(-1)
-    has_pos = jnp.any(flat > 0)
-    has_neg = jnp.any(flat < 0)
-    has_crossing = has_pos & has_neg
+    has_crossing = jnp.any(flat > 0) & jnp.any(flat < 0)
 
     ijk = jnp.stack(
         jnp.meshgrid(jnp.arange(R), jnp.arange(R), jnp.arange(R), indexing="ij"), axis=-1
@@ -340,12 +333,9 @@ def force_field_crossing(
     center_mask = dist2center <= (R // 8)
     border_mask = (ijk.min(axis=-1) == 0) | (ijk.max(axis=-1) == R - 1)
 
-    max_sdf = flat.max()
-    min_sdf = flat.min()
     update = (
-        center_mask.astype(flat.dtype) * (-1.0 - max_sdf)
-        + border_mask.astype(flat.dtype) * (1.0 - min_sdf)
+        center_mask.astype(flat.dtype) * (-1.0 - flat.max())
+        + border_mask.astype(flat.dtype) * (1.0 - flat.min())
     )
-    fixed = flat + update
-    out = jnp.where(has_crossing, flat, fixed)
+    out = jnp.where(has_crossing, flat, flat + update)
     return out.reshape(sdf.shape)
