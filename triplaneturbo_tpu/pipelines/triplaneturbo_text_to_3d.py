@@ -104,9 +104,11 @@ class TriplaneTurboTextTo3DPipeline:
         self.tokenizer = tokenizer
         self.schedule = schedule
         self.material = get_activation(cfg.color_activation)
-        self._generate_jit = functools.partial(
-            jax.jit, static_argnames=("batch_size",)
-        )(self._generate)
+        # two jit units instead of one monolith: the diffusion stage and the
+        # per-item extraction stage compile independently (compile times on
+        # remote-compiled TPU backends scale badly with graph size)
+        self._sample_jit = jax.jit(self._sample_latents)
+        self._extract_jit = jax.jit(self._extract_one)
 
     # ------------------------------------------------------------------
     # construction
@@ -230,13 +232,12 @@ class TriplaneTurboTextTo3DPipeline:
         deform = deform.reshape(-1, 3)[:n]
         return sdf, deform
 
-    def _generate(
+    def _sample_latents(
         self,
         geometry_params,
         text_params,
         input_ids: jax.Array,  # [B, 77]
         init_latents: jax.Array,  # [B, 6, 32, 32, 4]
-        batch_size: int,
     ):
         cfg = self.cfg
         text_embed, _ = self.text_encoder.apply(text_params, input_ids)
@@ -257,34 +258,32 @@ class TriplaneTurboTextTo3DPipeline:
         space_cache = self.geometry.apply(
             geometry_params, latents, method=self.geometry.decode
         )
+        return latents, space_cache
 
-        meshes: List[ExtractedMesh] = []
-        colors: List[jax.Array] = []
+    def _extract_one(self, geometry_params, space_cache_i: jax.Array):
+        """Mesh + vertex colors for ONE space-cache item (jitted per item so
+        any batch size reuses the same compiled program)."""
+        cfg = self.cfg
         R = cfg.isosurface_resolution
-        for i in range(batch_size):  # static unroll over batch
-            sdf, deform = self._field_on_grid(geometry_params, space_cache[i])
-            # empty-field fallback: sphere SDF (mesh_exporter.py:121-125)
-            lin = jnp.linspace(-1.0, 1.0, R)
-            grid = jnp.stack(jnp.meshgrid(lin, lin, lin, indexing="ij"), axis=-1).reshape(-1, 3)
-            has_crossing = jnp.any(sdf > 0) & jnp.any(sdf < 0)
-            sdf = jnp.where(has_crossing, sdf, jnp.linalg.norm(grid, axis=-1) - 1.0)
-            m = marching_tets(
-                sdf.reshape(R, R, R),
-                deform.reshape(R, R, R, 3) if cfg.isosurface_deformable_grid else None,
-                max_verts=cfg.max_verts,
-                max_faces=cfg.max_faces,
-            )
-            # verts [0,1] -> world [-1,1] (mesh_exporter.py:128-136)
-            m = m._replace(verts=m.verts * 2.0 - 1.0)
-            feats = self.geometry.apply(
-                geometry_params, m.verts[None], space_cache[i : i + 1],
-                method=self.geometry.export,
-            )["features"][0]
-            meshes.append(m)
-            colors.append(self.material(feats))
-
-        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *meshes)
-        return latents, space_cache, stacked, jnp.stack(colors)
+        sdf, deform = self._field_on_grid(geometry_params, space_cache_i)
+        # empty-field fallback: sphere SDF (mesh_exporter.py:121-125)
+        lin = jnp.linspace(-1.0, 1.0, R)
+        grid = jnp.stack(jnp.meshgrid(lin, lin, lin, indexing="ij"), axis=-1).reshape(-1, 3)
+        has_crossing = jnp.any(sdf > 0) & jnp.any(sdf < 0)
+        sdf = jnp.where(has_crossing, sdf, jnp.linalg.norm(grid, axis=-1) - 1.0)
+        m = marching_tets(
+            sdf.reshape(R, R, R),
+            deform.reshape(R, R, R, 3) if cfg.isosurface_deformable_grid else None,
+            max_verts=cfg.max_verts,
+            max_faces=cfg.max_faces,
+        )
+        # verts [0,1] -> world [-1,1] (mesh_exporter.py:128-136)
+        m = m._replace(verts=m.verts * 2.0 - 1.0)
+        feats = self.geometry.apply(
+            geometry_params, m.verts[None], space_cache_i[None],
+            method=self.geometry.export,
+        )["features"][0]
+        return m, self.material(feats)
 
     # ------------------------------------------------------------------
     # public API
@@ -314,20 +313,20 @@ class TriplaneTurboTextTo3DPipeline:
                 (B, cfg.n_planes, cfg.latent_resolution, cfg.latent_resolution, cfg.latent_channels),
             )
 
-        out_latents, space_cache, meshes, colors = self._generate_jit(
-            self.geometry_params, self.text_params, input_ids, latents, batch_size=B
+        out_latents, space_cache = self._sample_jit(
+            self.geometry_params, self.text_params, input_ids, latents
         )
 
         mesh_list = []
         for i in range(B):
-            m: ExtractedMesh = jax.tree_util.tree_map(lambda x: x[i], meshes)
+            m, color = self._extract_jit(self.geometry_params, space_cache[i])
             mesh_list.append(
                 Mesh(
                     v_pos=m.verts,
                     t_pos_idx=m.faces,
                     v_mask=m.vert_mask,
                     t_mask=m.face_mask,
-                    v_rgb=colors[i] if colorize else None,
+                    v_rgb=color if colorize else None,
                 )
             )
 
