@@ -127,6 +127,37 @@ class TriplaneField(nn.Module):
             out["features"] = self.feature_network(enc_tex)
         return out
 
+    def forward_field_grid(self, space_cache: jax.Array, resolution: int):
+        """SDF + deformation on the FULL regular marching-cubes grid.
+
+        Gather-free fast path (ops.triplane.sample_triplane_on_grid): exactly
+        the same values as ``forward_field`` on the dense meshgrid, but the
+        plane fetches are two tiny interp-matrix matmuls per plane instead of
+        4 random taps per point — the 160³ eval becomes MXU-bound.
+
+        Args:
+          space_cache: [1, 6, H, W, C] (single item).
+        Returns:
+          (sdf [R³, 1], deformation [R³, 3] or None), grid order (x, y, z).
+        """
+        from ...ops.triplane import sample_triplane_on_grid
+
+        c = self.cfg
+        R = resolution
+        rotated = rotate_planes(space_cache, c.rotate_planes)[0]  # [6, H, W, C]
+        world = jnp.linspace(-c.radius, c.radius, R)
+        coords = world / c.radius  # rescale_points to [-1, 1]
+        enc_geo = sample_triplane_on_grid(rotated[0:3], coords, c.geo_interpolate)
+        enc_geo = enc_geo.reshape(R * R * R, -1)
+        sdf = self.sdf_network(enc_geo)
+        # sphere bias on unscaled world points
+        g = jnp.stack(jnp.meshgrid(world, world, world, indexing="ij"), axis=-1)
+        sdf = self.shifted_sdf(g.reshape(-1, 3), sdf)
+        deformation = None
+        if c.isosurface_deformable_grid:
+            deformation = self.deformation_network(enc_geo)
+        return sdf, deformation
+
     def init_all(self, points: jax.Array, space_cache: jax.Array):
         """Touch every subnetwork so ``init`` creates all params."""
         out = self(points, space_cache)

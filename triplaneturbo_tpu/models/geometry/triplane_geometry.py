@@ -80,6 +80,9 @@ class TriplaneGeometry(nn.Module):
     def forward_field(self, points, space_cache):
         return self.field.forward_field(points, space_cache)
 
+    def forward_field_grid(self, space_cache, resolution: int):
+        return self.field.forward_field_grid(space_cache, resolution)
+
     def forward_sdf(self, points, space_cache):
         return self.field.forward_sdf(points, space_cache)
 

@@ -66,6 +66,7 @@ class GenerativeSpaceMeshRasterizeRenderer:
         forward_field: Callable,  # (points [B, N, 3], cache [B,...]) -> (sdf, deform)
         sdf_grad_shrink: Optional[float] = None,
         def_grad_shrink: Optional[float] = None,
+        forward_field_grid: Optional[Callable] = None,  # (cache [1,...], R) fast path
     ):
         """Extract one fixed-capacity mesh per space-cache item
         (reference isosurface :428-536)."""
@@ -87,15 +88,21 @@ class GenerativeSpaceMeshRasterizeRenderer:
         for i in range(Bsc):
             cache_i = space_cache[i : i + 1]
 
-            def eval_chunk(pts):
-                sdf, deform = forward_field(pts[None], cache_i)
+            if forward_field_grid is not None:
+                sdf, deform = forward_field_grid(cache_i, R)
+                sdf = sdf.reshape(-1)
                 if deform is None:
-                    deform = jnp.zeros_like(pts)[None]
-                return sdf[0, :, 0], deform[0]
+                    deform = jnp.zeros((n, 3), sdf.dtype)
+            else:
+                def eval_chunk(pts):
+                    sdf_, deform_ = forward_field(pts[None], cache_i)
+                    if deform_ is None:
+                        deform_ = jnp.zeros_like(pts)[None]
+                    return sdf_[0, :, 0], deform_[0]
 
-            sdf, deform = jax.lax.map(eval_chunk, grid_p)
-            sdf = sdf.reshape(-1)[:n]
-            deform = deform.reshape(-1, 3)[:n]
+                sdf, deform = jax.lax.map(eval_chunk, grid_p)
+                sdf = sdf.reshape(-1)[:n]
+                deform = deform.reshape(-1, 3)[:n]
 
             # gradient damping (:449-465; reference reuses sdf_grad_shrink for
             # the deformation term — behavior preserved via dgs default)

@@ -120,6 +120,73 @@ def sample_from_planes(
     raise ValueError(f"Unknown interpolate_feat {interpolate_feat}")
 
 
+def bilinear_interp_matrix(out_coords: jax.Array, in_size: int) -> jax.Array:
+    """Dense ``[n_out, in_size]`` bilinear interpolation matrix.
+
+    Row r reproduces ``grid_sample`` semantics (align_corners=False, zeros
+    padding) for normalized coordinate ``out_coords[r]`` along an axis of
+    ``in_size`` texels: at most two taps, border rows sum < 1 (zeros pad).
+
+    This is the no-gather fast path for sampling planes on a REGULAR grid:
+    the matmul ``A_v @ plane @ A_u^T`` equals per-point bilinear fetches but
+    runs on the MXU (SURVEY §2.6 #1 perf note).
+    """
+    n = out_coords.shape[0]
+    ix = ((out_coords + 1.0) * in_size - 1.0) * 0.5
+    i0 = jnp.floor(ix)
+    w1 = ix - i0
+    w0 = 1.0 - w1
+    cols = jnp.arange(in_size)[None, :]
+    m0 = (cols == i0[:, None].astype(jnp.int32)) & (i0[:, None] >= 0) & (i0[:, None] <= in_size - 1)
+    i1 = i0 + 1
+    m1 = (cols == i1[:, None].astype(jnp.int32)) & (i1[:, None] >= 0) & (i1[:, None] <= in_size - 1)
+    return m0 * w0[:, None] + m1 * w1[:, None]
+
+
+def sample_triplane_on_grid(
+    planes: jax.Array,  # [3, H, W, C] rotated geo planes (xy, xz, zy)
+    coords: jax.Array,  # [R] normalized grid coords in [-1, 1] (per axis)
+    interpolate_feat: str = "v1",
+) -> jax.Array:
+    """Triplane features for the full regular grid, gather-free.
+
+    Exactly equivalent to ``sample_from_planes`` evaluated at the dense
+    meshgrid of ``coords`` (axis order x, y, z), but built from three tiny
+    axis-resamples + broadcasts: feat[i,j,k] = XY[j,i] + XZ[k,i] + ZY[j,k]
+    (v1 sum) — no random memory access, MXU-only.
+
+    Returns [R, R, R, C] (v1) or [R, R, R, 3C] (v2 concat, order xy|xz|zy).
+    """
+    H, W = planes.shape[1], planes.shape[2]
+    Av = bilinear_interp_matrix(coords, H)  # rows index the v (height) axis
+    Au = bilinear_interp_matrix(coords, W)
+
+    def resample(p):  # [H, W, C] -> [R, R, C] indexed [v, u]
+        return jnp.einsum("vh,hwc,uw->vuc", Av, p, Au)
+
+    m_xy = resample(planes[0])  # [y, x, C]
+    m_xz = resample(planes[1])  # [z, x, C]
+    m_zy = resample(planes[2])  # [y, z, C]
+
+    xy = jnp.swapaxes(m_xy, 0, 1)[:, :, None, :]  # [x, y, 1, C]
+    xz = jnp.swapaxes(m_xz, 0, 1)[:, None, :, :]  # [x, 1, z, C]
+    zy = m_zy[None, :, :, :]  # [1, y, z, C]
+    if interpolate_feat in (None, "v1"):
+        return xy + xz + zy
+    if interpolate_feat == "v2":
+        R = coords.shape[0]
+        C = planes.shape[-1]
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(xy, (R, R, R, C)),
+                jnp.broadcast_to(xz, (R, R, R, C)),
+                jnp.broadcast_to(zy, (R, R, R, C)),
+            ],
+            axis=-1,
+        )
+    raise ValueError(f"Unknown interpolate_feat {interpolate_feat}")
+
+
 def scale_tensor(dat, inp_scale, tgt_scale):
     """Affine rescale from ``inp_scale`` range to ``tgt_scale`` range.
 

@@ -204,33 +204,21 @@ class TriplaneTurboTextTo3DPipeline:
     # ------------------------------------------------------------------
 
     def _field_on_grid(self, params, space_cache_i: jax.Array):
-        """Chunked SDF+deformation on the dense MC grid (one batch item).
+        """SDF+deformation on the dense MC grid (one batch item).
 
-        Equivalent of forward_field over 160³ points
-        (mesh_exporter.py:100-106); chunked with lax.map to bound HBM.
+        Uses the gather-free regular-grid fast path
+        (TriplaneField.forward_field_grid): identical values to chunked
+        forward_field over 160³ points (mesh_exporter.py:100-106) but
+        MXU-bound instead of gather-bound.
         """
         cfg = self.cfg
         R = cfg.isosurface_resolution
-        lin = jnp.linspace(-1.0, 1.0, R)
-        grid = jnp.stack(jnp.meshgrid(lin, lin, lin, indexing="ij"), axis=-1).reshape(-1, 3)
-        n = grid.shape[0]
-        chunk = min(cfg.field_chunk, n)
-        n_chunks = (n + chunk - 1) // chunk
-        pad = n_chunks * chunk - n
-        grid_p = jnp.pad(grid, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
-
-        def eval_chunk(pts):
-            sdf, deform = self.geometry.apply(
-                params, pts[None], space_cache_i[None], method=self.geometry.forward_field
-            )
-            if deform is None:
-                deform = jnp.zeros_like(pts)[None]
-            return sdf[0, :, 0], deform[0]
-
-        sdf, deform = jax.lax.map(eval_chunk, grid_p)
-        sdf = sdf.reshape(-1)[:n]
-        deform = deform.reshape(-1, 3)[:n]
-        return sdf, deform
+        sdf, deform = self.geometry.apply(
+            params, space_cache_i[None], R, method=self.geometry.forward_field_grid
+        )
+        if deform is None:
+            deform = jnp.zeros((R * R * R, 3), sdf.dtype)
+        return sdf.reshape(-1), deform
 
     def _sample_latents(
         self,
