@@ -126,8 +126,8 @@ class GenerativeSpaceSDFVolumeRenderer(nn.Module):
 
         rgb_fg = features  # no-material: activation applied by the field/material
         shrink = cfg.rgb_grad_shrink if rgb_grad_shrink is None else rgb_grad_shrink
-        if shrink != 1.0:
-            rgb_fg = shrink * rgb_fg + (1.0 - shrink) * jax.lax.stop_gradient(rgb_fg)
+        # identity when shrink == 1; traced-scalar safe
+        rgb_fg = shrink * rgb_fg + (1.0 - shrink) * jax.lax.stop_gradient(rgb_fg)
 
         dirs = jnp.broadcast_to(rd[:, None, :], normal.shape)
         alpha = neus_alpha(sdf, normal, dirs, t_intervals, inv_std, cfg.cos_anneal_ratio)
@@ -164,6 +164,18 @@ class GenerativeSpaceSDFVolumeRenderer(nn.Module):
             o_img = out["opacity"]
             disparity_tmp = d_img * o_img + (1.0 - o_img) * far
             out["disparity"] = jnp.clip((far - disparity_tmp) / (far - near), 0.0, 1.0)
+
+        # regularizer raw terms (consumed by the training system's loss
+        # registry; reference computes them from ragged sample buffers,
+        # systems/...py:620-738)
+        if "sdf_grad" in geo:
+            sg = geo["sdf_grad"].reshape(n_rays, S, 3)
+            out["eikonal"] = ((jnp.linalg.norm(sg, axis=-1) - 1.0) ** 2).mean()
+        w_sg = jax.lax.stop_gradient(weights)
+        cos = (normal * dirs).sum(-1)
+        out["orient"] = (w_sg * jnp.clip(cos, 0.0) ** 2).sum() / jnp.maximum(
+            (opacity > 0).sum(), 1
+        )
 
         comp_normal = accumulate_along_rays(weights, normal)
         comp_normal = comp_normal / jnp.maximum(

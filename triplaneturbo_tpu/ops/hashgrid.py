@@ -48,8 +48,9 @@ class HashGridEncoding(nn.Module):
         )
         feats = []
         for level in range(c.n_levels):
-            res = int(jnp.floor(c.base_resolution * c.per_level_scale**level))
-            res = max(res, 1)
+            import math
+
+            res = max(int(math.floor(c.base_resolution * c.per_level_scale**level)), 1)
             pos = x * res
             p0 = jnp.floor(pos).astype(jnp.int32)
             frac = pos - p0
