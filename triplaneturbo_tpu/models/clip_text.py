@@ -60,7 +60,11 @@ class CLIPAttention(nn.Module):
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], c.heads, head_dim)
 
-        out = jax.nn.dot_product_attention(split(q), split(k), split(v), mask=causal_mask)
+        qh, kh, vh = split(q), split(k), split(v)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / (head_dim**0.5)
+        scores = jnp.where(causal_mask, scores, -1e9)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(qh.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
         out = out.reshape(x.shape[0], x.shape[1], c.width)
         return nn.Dense(c.width, dtype=self.dtype, name="out_proj")(out)
 
