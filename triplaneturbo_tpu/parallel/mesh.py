@@ -30,10 +30,20 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
 
 
 def shard_batch(mesh: Mesh, tree: Any, axis: str = "data") -> Any:
-    """Shard dim 0 of every leaf over the data axis."""
+    """Shard dim 0 of every leaf over the data axis.
+
+    Leaves whose dim 0 is not divisible by the axis size (e.g. prompt-level
+    tensors when views are sharded) are replicated instead — XLA inserts the
+    broadcasts/collectives where the two batch levels meet.
+    """
+    n = mesh.shape[axis]
 
     def put(x):
-        spec = P(axis, *([None] * (x.ndim - 1)))
+        x = jax.numpy.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0:
+            spec = P(axis, *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, tree)

@@ -59,7 +59,8 @@ def build_teacher(
     """Build one frozen teacher with random weights (checkpoint-loadable)."""
     from dataclasses import replace as dc_replace
 
-    sizes = sizes or {}
+    sizes = dict(sizes or {})
+    vae_sizes = {k[4:]: sizes.pop(k) for k in list(sizes) if k.startswith("vae_")}
     if kind == "mv":
         ucfg = mvdream_config(dtype_str)
     elif kind == "rd":
@@ -79,7 +80,7 @@ def build_teacher(
     uparams = jax.jit(lambda k: unet.init(k, x, jnp.zeros((n,)), ctx, cam))(key)
     vae = vparams = None
     if kind in ("mv", "sd"):
-        vae = AutoencoderKL(VAEConfig(dtype_str=dtype_str))
+        vae = AutoencoderKL(VAEConfig(dtype_str=dtype_str, **vae_sizes))
         img = jnp.zeros((1, 32, 32, 3))
         vparams = jax.jit(lambda k: vae.init(k, img, method=vae.encode))(
             jax.random.fold_in(key, 7)
