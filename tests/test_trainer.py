@@ -165,3 +165,19 @@ def test_train_step_runs_and_updates_only_trainables(trainer):
 def test_second_step_finite(trainer):
     metrics = trainer.train_step(make_batch(), make_text_embeds(), jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_eval_views_and_artifacts(trainer, tmp_path):
+    dm = MultiviewMultipromptDataModule(
+        DataModuleConfig(
+            batch_size=4, n_view=4, height=16, width=16, ray_height=16, ray_width=16,
+            eval_height=16, eval_width=16, dim_gaussian=(6, 4, 8, 8),
+        )
+    )
+    batch = dm.eval_views("a test prompt", n_views=4)
+    views = trainer.render_eval_views(batch, make_text_embeds(), chunk_views=2)
+    assert views["rgb"].shape == (4, 16, 16, 3)
+    assert np.isfinite(views["rgb"]).all()
+    paths = trainer.save_eval_artifacts(views, str(tmp_path), "it0-val")
+    import os
+    assert all(os.path.exists(p) for p in paths)

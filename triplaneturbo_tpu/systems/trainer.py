@@ -19,6 +19,7 @@ over a Mesh axis with replicated params (SURVEY §2.7).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -361,6 +362,104 @@ class TriplaneTurboTrainer:
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
+
+    # ------------------------------------------------------------------
+    # validation / test (turntable rendering, reference :546-933)
+    # ------------------------------------------------------------------
+
+    def diffusion_reverse(self, noise: jax.Array, text_local: jax.Array, key=None) -> jax.Array:
+        """4-step shifted DDIM sampling to a space cache latent (reference
+        diffusion_reverse :317-379)."""
+        from ..models.schedulers import ddim_step
+
+        ts = jnp.asarray(self.all_timesteps, jnp.int32)
+        latents = noise
+        denoised = latents
+        for t in np.asarray(ts):
+            t_arr = jnp.asarray(t, jnp.int32)
+            eps = self.geometry.apply(
+                self.params["geometry"], latents, text_local, t_arr,
+                method=self.geometry.denoise,
+            )
+            out = ddim_step(self.schedule, eps, t_arr, latents, len(self.all_timesteps))
+            latents, denoised = out.prev_sample, out.pred_original_sample
+        return denoised
+
+    def render_eval_views(
+        self,
+        batch: Dict[str, Any],
+        text_embeds: Dict[str, Any],
+        chunk_views: int = 4,
+    ) -> Dict[str, np.ndarray]:
+        """Render a turntable batch with the mesh rasterize renderer
+        (eval renders per 4-view chunk like the reference :155-165)."""
+        latents = self.diffusion_reverse(
+            jnp.asarray(batch["noise"]), text_embeds["cond_local"]
+        )
+        space_cache = self.geometry.apply(
+            self.params["geometry"], latents, method=self.geometry.decode
+        )
+
+        def forward_field(p, sc):
+            return self.geometry.apply(self.params["geometry"], p, sc, method=self.geometry.forward_field)
+
+        def forward_field_grid(sc, R):
+            return self.geometry.apply(
+                self.params["geometry"], sc, R, method=self.geometry.forward_field_grid
+            )
+
+        def export_fn(p, sc):
+            return self.geometry.apply(
+                self.params["geometry"], p, sc, method=self.geometry.export
+            )["features"]
+
+        def background_fn(dirs, te):
+            return self.background.apply(self.params["background"], dirs, te, train=False)
+
+        n = batch["mvp_mtx"].shape[0]
+        frames = []
+        scalars = self.host_scalars()
+        for i in range(0, n, chunk_views):
+            sl = slice(i, min(i + chunk_views, n))
+            out = self.rasterize_renderer(
+                jnp.asarray(batch["mvp_mtx"][sl]),
+                jnp.asarray(batch["camera_positions"][sl]),
+                space_cache,
+                forward_field, export_fn, self.material_fn, background_fn,
+                batch["rays_d_rasterize"].shape[1], batch["rays_d_rasterize"].shape[2],
+                text_embed=text_embeds["global_21"],
+                rays_d_rasterize=jnp.asarray(batch["rays_d_rasterize"][sl]),
+                camera_distances=jnp.asarray(batch["camera_distances"][sl]),
+                c2w=jnp.asarray(batch["c2w"][sl]),
+            )
+            frames.append(
+                {
+                    "rgb": np.asarray(out["comp_rgb"]),
+                    "normal": np.asarray(out["comp_normal"]),
+                    "opacity": np.asarray(out["opacity"]),
+                    "depth": np.asarray(out["depth"]),
+                }
+            )
+        return {k: np.concatenate([f[k] for f in frames]) for k in frames[0]}
+
+    def save_eval_artifacts(self, views: Dict[str, np.ndarray], save_dir: str, tag: str) -> List[str]:
+        """Image grid (rgb|normal|opacity|depth) per view + turntable video
+        (reference SaverMixin usage :791-933)."""
+        from ..utils.saving import save_image_grid, save_video
+
+        paths = []
+        n = views["rgb"].shape[0]
+        mid = n // 2
+        d = views["depth"][mid, ..., 0]
+        d = (d - d.min()) / max(d.max() - d.min(), 1e-6)
+        paths.append(
+            save_image_grid(
+                os.path.join(save_dir, f"{tag}-grid.png"),
+                [views["rgb"][mid], views["normal"][mid], views["opacity"][mid].repeat(3, -1), np.stack([d] * 3, -1)],
+            )
+        )
+        paths.append(save_video(os.path.join(save_dir, f"{tag}-rgb.mp4"), list(views["rgb"])))
+        return paths
 
     def train_step(self, batch_list: List[Dict[str, Any]], text_embeds: Dict[str, Any], key) -> Dict:
         """One optimization step (host entry): evaluates schedules, samples

@@ -205,6 +205,13 @@ def load_config(
             cfg = yaml.safe_load(f) or {}
     else:
         cfg = dict(path_or_dict)
+    # single-inheritance base configs: __base__: path.yaml
+    base_path = cfg.pop("__base__", None)
+    if base_path:
+        with open(base_path) as f:
+            base = yaml.safe_load(f) or {}
+        base.pop("__base__", None)
+        cfg = merge_dicts(base, cfg)
     if cli_args:
         cfg = apply_dotlist(cfg, list(cli_args))
     if kwargs:
