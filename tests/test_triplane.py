@@ -108,3 +108,46 @@ def test_contract_to_unisphere_bounded():
     bbox2 = jnp.asarray([[-2.0, -2.0, -2.0], [2.0, 2.0, 2.0]])
     out2 = contract_to_unisphere(pts, bbox2)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(pts) / 2, atol=1e-6)
+
+
+def test_quaplane_and_hplane_variants():
+    import jax
+    from triplaneturbo_tpu.ops.triplane import sample_from_hplanes, sample_from_quaplanes
+
+    key = jax.random.PRNGKey(5)
+    qp = jax.random.normal(key, (2, 4, 8, 8, 3))
+    hp = jax.random.normal(key, (2, 3, 8, 8, 3))
+    pts = jax.random.uniform(jax.random.fold_in(key, 1), (2, 17, 3), minval=-0.9, maxval=0.9)
+    out_q = sample_from_quaplanes(qp, pts, "v1")
+    assert out_q.shape == (2, 17, 9)
+    out_qn = sample_from_quaplanes(qp, pts, None)
+    assert out_qn.shape == (2, 17, 9)
+    # hard-select and alpha agree at |x| -> 1
+    pts_front = pts.at[..., 0].set(0.999)
+    np.testing.assert_allclose(
+        np.asarray(sample_from_quaplanes(qp, pts_front, None)),
+        np.asarray(sample_from_quaplanes(qp, pts_front, "v1")),
+        atol=1e-2,
+    )
+    for mode, ch in [(None, 6), ("v1", 6), ("v2", 9), ("v3", 9)]:
+        out_h = sample_from_hplanes(hp, pts, mode)
+        assert out_h.shape == (2, 17, ch), mode
+
+
+def test_chunk_batch_and_ops():
+    import jax
+    from triplaneturbo_tpu.utils.ops import binary_cross_entropy, chunk_batch, perpendicular_component, specify_gradient
+
+    x = jnp.arange(10.0).reshape(10, 1)
+    out = chunk_batch(lambda a: a * 2, 3, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x * 2))
+    # bce of p against itself = entropy
+    p = jnp.asarray([0.3, 0.7])
+    assert float(binary_cross_entropy(p, p)) > 0
+    a = jnp.asarray([[1.0, 1.0, 0.0]])
+    b = jnp.asarray([[1.0, 0.0, 0.0]])
+    perp = perpendicular_component(a, b)
+    np.testing.assert_allclose(np.asarray(perp), [[0.0, 1.0, 0.0]], atol=1e-6)
+    # specify_gradient injects the given grad
+    g = jax.grad(lambda z: specify_gradient(z, jnp.full_like(z, 2.0)))(jnp.ones((3,)))
+    np.testing.assert_allclose(np.asarray(g), [2.0, 2.0, 2.0])

@@ -120,6 +120,118 @@ def sample_from_planes(
     raise ValueError(f"Unknown interpolate_feat {interpolate_feat}")
 
 
+def sample_from_quaplanes(
+    plane_features: jax.Array,  # [N, 4, H, W, C]
+    coordinates: jax.Array,  # [N, M, 3]
+    interpolate_feat: Optional[str] = "v1",
+    box_warp: float = 2.0,
+) -> jax.Array:
+    """Quaplane variant: xy + xz + front-zy + back-zy planes.
+
+    Behavioral rebuild of the reference's experimental quaplane sampler
+    (custom/triplaneturbo/models/geometry/utils.py:165-211): plane bases give
+    projections (x,y), (x,z), (z,y), (z,y); the two zy copies are blended as
+    front (x>0) / back (x<0) features — hard select (None) or linear alpha
+    (v1). Returns [N, M, 3C].
+    """
+    N, n_planes, H, W, C = plane_features.shape
+    assert n_planes == 4
+    M = coordinates.shape[1]
+    coords = (2.0 / box_warp) * coordinates
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    projs = jnp.stack(
+        [
+            jnp.stack([x, y], -1),
+            jnp.stack([x, z], -1),
+            jnp.stack([z, y], -1),
+            jnp.stack([z, y], -1),
+        ],
+        axis=1,
+    )  # [N, 4, M, 2]
+    feats = grid_sample_2d(
+        plane_features.reshape(N * 4, H, W, C), projs.reshape(N * 4, M, 2)
+    ).reshape(N, 4, M, C)
+    xy, xz, zy_front, zy_back = feats[:, 0], feats[:, 1], feats[:, 2], feats[:, 3]
+    if interpolate_feat in (None, "none"):
+        front = (x > 0)[..., None]
+        zy = jnp.where(front, zy_front, zy_back)
+    elif interpolate_feat == "v1":
+        a_front = (0.5 + 0.5 * x)[..., None]
+        zy = a_front * zy_front + (1.0 - a_front) * zy_back
+    else:
+        raise ValueError(f"Unknown quaplane interpolate_feat {interpolate_feat}")
+    return jnp.concatenate([xy, xz, zy], axis=-1)
+
+
+def sample_from_hplanes(
+    plane_features: jax.Array,  # [N, 3, H, W, C]
+    coordinates: jax.Array,
+    interpolate_feat: Optional[str] = "v1",
+    box_warp: float = 2.0,
+) -> jax.Array:
+    """H-plane variant: one side (xz) plane + front/back zy planes.
+
+    Rebuild of sample_from_Hplanes (geometry/utils.py:213-362) for the
+    documented variants: None (hard front/back select -> 2C), v1 (linear
+    front/back alpha -> 2C), v2 (side weighted by 1-|y|, front/back by x ->
+    3C), v3 (trapezoid front/back masks with 0.5 thresholds -> 3C). Variants
+    v4-v7 are further alpha-shaping experiments unused by the released
+    models; they raise until needed.
+    """
+    N, n_planes, H, W, C = plane_features.shape
+    assert n_planes == 3
+    M = coordinates.shape[1]
+    coords = (2.0 / box_warp) * coordinates
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    projs = jnp.stack(
+        [
+            jnp.stack([x, z], -1),
+            jnp.stack([z, y], -1),
+            jnp.stack([z, y], -1),
+        ],
+        axis=1,
+    )
+    feats = grid_sample_2d(
+        plane_features.reshape(N * 3, H, W, C), projs.reshape(N * 3, M, 2)
+    ).reshape(N, 3, M, C)
+    side, front_f, back_f = feats[:, 0], feats[:, 1], feats[:, 2]
+    xe = x[..., None]
+    if interpolate_feat in (None, "none"):
+        fb = jnp.where((x > 0)[..., None], front_f, back_f)
+        return jnp.concatenate([side, fb], axis=-1)
+    if interpolate_feat == "v1":
+        a = 0.5 + 0.5 * xe
+        fb = a * front_f + (1.0 - a) * back_f
+        return jnp.concatenate([side, fb], axis=-1)
+    if interpolate_feat == "v2":
+        a_side = 1.0 - jnp.abs(y)[..., None]
+        a_front = 0.5 + 0.5 * xe
+        a_back = 0.5 - 0.5 * xe
+        return jnp.concatenate(
+            [side * a_side, front_f * a_front, back_f * a_back], axis=-1
+        )
+    if interpolate_feat == "v3":
+        def trapezoid(thres):
+            a_hi = 1.0 - (xe - thres) / (1.0 - thres)
+            a_lo = (xe + 1.0) / (thres + 1.0)
+            return jnp.where(xe > thres, a_hi, a_lo)
+
+        a_front = trapezoid(0.5)
+        a_back = trapezoid(-0.5)
+        return jnp.concatenate([side, front_f * a_front, back_f * a_back], axis=-1)
+    raise ValueError(f"Hplane interpolate_feat {interpolate_feat} not implemented")
+
+
+def get_trilinear_feature(points: jax.Array, voxel: jax.Array) -> jax.Array:
+    """Trilinear fetch from a dense voxel grid (geometry/utils.py:364-376).
+
+    points: [N, M, 3] in [-1, 1]; voxel: [N, D, H, W, C] -> [N, M, C].
+    """
+    from .grid_sample import grid_sample_3d
+
+    return grid_sample_3d(voxel, points)
+
+
 def bilinear_interp_matrix(out_coords: jax.Array, in_size: int) -> jax.Array:
     """Dense ``[n_out, in_size]`` bilinear interpolation matrix.
 
