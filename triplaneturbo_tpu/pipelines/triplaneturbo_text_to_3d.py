@@ -109,6 +109,16 @@ class TriplaneTurboTextTo3DPipeline:
         # remote-compiled TPU backends scale badly with graph size)
         self._sample_jit = jax.jit(self._sample_latents)
         self._extract_jit = jax.jit(self._extract_one)
+        # single-prompt fast path: one dispatch for the whole pipeline (each
+        # host round trip costs ~200ms on tunneled TPU backends)
+        self._generate_one_jit = jax.jit(self._generate_one)
+
+    def _generate_one(self, geometry_params, text_params, input_ids, init_latents):
+        latents, space_cache = self._sample_latents(
+            geometry_params, text_params, input_ids, init_latents
+        )
+        mesh, color = self._extract_one(geometry_params, space_cache[0])
+        return latents, space_cache, mesh, color
 
     # ------------------------------------------------------------------
     # construction
@@ -301,13 +311,20 @@ class TriplaneTurboTextTo3DPipeline:
                 (B, cfg.n_planes, cfg.latent_resolution, cfg.latent_resolution, cfg.latent_channels),
             )
 
-        out_latents, space_cache = self._sample_jit(
-            self.geometry_params, self.text_params, input_ids, latents
-        )
-
         mesh_list = []
-        for i in range(B):
-            m, color = self._extract_jit(self.geometry_params, space_cache[i])
+        if B == 1:
+            out_latents, space_cache, m, color = self._generate_one_jit(
+                self.geometry_params, self.text_params, input_ids, latents
+            )
+            extracted = [(m, color)]
+        else:
+            out_latents, space_cache = self._sample_jit(
+                self.geometry_params, self.text_params, input_ids, latents
+            )
+            extracted = [
+                self._extract_jit(self.geometry_params, space_cache[i]) for i in range(B)
+            ]
+        for m, color in extracted:
             mesh_list.append(
                 Mesh(
                     v_pos=m.verts,
