@@ -27,6 +27,7 @@ def main() -> None:
     group.add_argument("--export", action="store_true")
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--resume", default=None, help="train-state checkpoint dir")
     parser.add_argument("extras", nargs="*", help="dotlist config overrides")
     args = parser.parse_args()
 
@@ -96,10 +97,20 @@ def main() -> None:
         }
 
     if args.train:
+        from triplaneturbo_tpu.utils.checkpoint import load_train_state, save_train_state
+        from triplaneturbo_tpu.utils.misc import find_last_path
+        from triplaneturbo_tpu.utils.profiling import maybe_trace
+
         max_steps = args.max_steps or cfg.get("trainer", {}).get("max_steps", 15000)
+        if args.resume:
+            resume = find_last_path(args.resume)
+            trainer.params, trainer.opt_state, trainer.global_step = load_train_state(
+                resume, trainer.params, trainer.opt_state
+            )
+            ttt.info(f"resumed from {resume} at step {trainer.global_step}")
         key = jax.random.PRNGKey(seed)
         t0 = time.time()
-        for step in range(max_steps):
+        for step in range(trainer.global_step, max_steps):
             batch_list = dm.sample_train_batch()
             prompts = batch_list[0]["prompt"]
             metrics = trainer.train_step(batch_list, embeds_for(prompts), jax.random.fold_in(key, step))
@@ -113,6 +124,10 @@ def main() -> None:
                 save_params(
                     os.path.join(cfg.trial_dir, f"ckpt_{step+1:06d}", "geometry.msgpack"),
                     trainer.params["geometry"],
+                )
+                save_train_state(
+                    os.path.join(cfg.trial_dir, f"ckpt_{step+1:06d}", "train_state"),
+                    trainer.params, trainer.opt_state, step + 1,
                 )
         save_params(os.path.join(cfg.trial_dir, "last", "geometry.msgpack"), trainer.params["geometry"])
     elif args.validate or args.test:

@@ -111,3 +111,44 @@ def test_callbacks_snapshots(tmp_path):
     ml.log(0, {"loss": 1.5, "skip": "str"})
     ml.progress(0, 100, "warmup")
     assert os.path.exists(ml.path) and os.path.exists(ml.progress_path)
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import optax
+    from triplaneturbo_tpu.utils.checkpoint import load_train_state, save_train_state
+
+    params = {"w": jnp.ones((3, 3)), "b": jnp.zeros((3,))}
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    p = save_train_state(str(tmp_path / "ckpt"), params, opt_state, 123)
+    p2, o2, step = load_train_state(p, params, opt_state)
+    assert step == 123
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(p2["w"]), np.asarray(params["w"]))
+
+
+def test_mesh_outlier_removal():
+    import jax.numpy as jnp
+    import numpy as np
+    from triplaneturbo_tpu.utils.mesh import Mesh
+
+    # two components: a big quad (2 tris) and a tiny lone triangle
+    v = jnp.asarray(
+        [[0,0,0],[1,0,0],[1,1,0],[0,1,0],  # quad
+         [5,5,5],[6,5,5],[5,6,5]], jnp.float32)
+    f = jnp.asarray([[0,1,2],[0,2,3],[4,5,6]], jnp.int32)
+    mesh = Mesh(v_pos=v, t_pos_idx=f)
+    out = mesh.remove_outliers(outlier_n_faces_threshold=2)
+    tm = np.asarray(out.t_mask)
+    assert tm.tolist() == [True, True, False]
+    vm = np.asarray(out.v_mask)
+    assert vm[:4].all() and not vm[4:].any()
+
+
+def test_phase_timer():
+    from triplaneturbo_tpu.utils.profiling import phase_report, phase_timer
+    with phase_timer("unit"):
+        pass
+    rep = phase_report()
+    assert "unit" in rep and rep["unit"]["count"] >= 1

@@ -50,6 +50,29 @@ def maybe_load_pipeline_params(path: str, geometry_params, text_params):
     return geometry_params, text_params
 
 
+def save_train_state(path: str, params: Any, opt_state: Any, global_step: int) -> str:
+    """Full training checkpoint (params + optimizer state + step) via orbax
+    (SURVEY §5.4: reference = PL ModelCheckpoint every 5000 steps)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, {"params": params, "opt_state": opt_state, "step": global_step}, force=True)
+    return path
+
+
+def load_train_state(path: str, params_template: Any, opt_state_template: Any):
+    """Restore (params, opt_state, step) from an orbax checkpoint."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(
+        os.path.abspath(path),
+        item={"params": params_template, "opt_state": opt_state_template, "step": 0},
+    )
+    return restored["params"], restored["opt_state"], int(restored["step"])
+
+
 def load_torch_adapter(path: str, geometry_params) -> Any:
     """Convert the released torch adapter checkpoint onto our param tree.
 

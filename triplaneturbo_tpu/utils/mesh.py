@@ -98,6 +98,56 @@ class Mesh:
         denom = jnp.maximum(fm.sum() * 3.0, 1.0)
         return total / denom
 
+    def remove_outliers(self, outlier_n_faces_threshold=0.01) -> "Mesh":
+        """Drop small disconnected components (host-side; reference
+        mesh.py:35-74 uses trimesh connected components — here union-find).
+
+        threshold: int = min faces to keep a component; float = fraction of
+        the largest component (reference semantics). Returns a new Mesh with
+        updated masks (static shapes preserved).
+        """
+        import numpy as np
+
+        faces = np.asarray(self.t_pos_idx)
+        fmask = np.asarray(self.valid_face_mask())
+        idx = np.nonzero(fmask)[0]
+        if len(idx) == 0:
+            return self
+        f = faces[idx]
+        nv = self.v_pos.shape[0]
+        parent = np.arange(nv)
+
+        def find(a):
+            root = a
+            while parent[root] != root:
+                root = parent[root]
+            while parent[a] != root:
+                parent[a], a = root, parent[a]
+            return root
+
+        for tri in f:
+            r0 = find(tri[0])
+            for v in tri[1:]:
+                rv = find(v)
+                if rv != r0:
+                    parent[rv] = r0
+        comp = np.array([find(v) for v in f[:, 0]])
+        labels, counts = np.unique(comp, return_counts=True)
+        if isinstance(outlier_n_faces_threshold, float):
+            keep_min = counts.max() * outlier_n_faces_threshold
+        else:
+            keep_min = outlier_n_faces_threshold
+        keep_labels = set(labels[counts >= keep_min].tolist())
+        keep_face = np.array([c in keep_labels for c in comp])
+        new_fmask = fmask.copy()
+        new_fmask[idx[~keep_face]] = False
+        kept = faces[new_fmask].reshape(-1)
+        new_vmask = np.zeros(nv, bool)
+        new_vmask[kept] = True
+        return self.with_(
+            t_mask=jnp.asarray(new_fmask), v_mask=jnp.asarray(new_vmask)
+        )
+
     def laplacian(self) -> jax.Array:
         """Uniform-Laplacian smoothness: mean |L v| over valid vertices
         (reference mesh.py:255-288 builds a sparse COO Laplacian; here the
