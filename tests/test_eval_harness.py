@@ -45,3 +45,28 @@ def test_clip_scorer_pipeline():
     assert set(out) == {"clip_score", "recall_at_1"}
     assert 0.0 <= out["clip_score"] <= 2.5
     assert out["recall_at_1"] in (0.0, 0.5, 1.0)
+
+
+def test_obj_mtl_export(tmp_path):
+    import numpy as np
+    from triplaneturbo_tpu.models.exporters.mesh_exporter import (
+        MeshExporterConfig,
+        MultipromptMeshExporter,
+    )
+
+    mesh = sphere_mesh()
+    exporter = MultipromptMeshExporter(MeshExporterConfig(fmt="obj-mtl"))
+
+    def color_fn(pos):
+        return np.stack([np.clip(pos[:, 0] + 0.5, 0, 1), np.full(len(pos), 0.3), np.full(len(pos), 0.3)], -1)
+
+    paths = exporter([mesh], str(tmp_path), ["sphere"], color_fns=[color_fn])
+    import os
+    assert os.path.exists(paths[0])
+    d = os.path.dirname(paths[0])
+    assert os.path.exists(os.path.join(d, "model.mtl"))
+    assert os.path.exists(os.path.join(d, "texture_kd.png"))
+    txt = open(paths[0]).read()
+    assert "vt " in txt and "mtllib" in txt
+    # faces reference uv indices
+    assert "/" in txt.split("\nf ")[1]

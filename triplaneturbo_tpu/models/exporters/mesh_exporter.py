@@ -72,12 +72,20 @@ class MultipromptMeshExporter:
             )
         return meshes
 
-    def __call__(self, meshes: List[Mesh], save_dir: str, names: Optional[List[str]] = None) -> List[str]:
+    def __call__(
+        self,
+        meshes: List[Mesh],
+        save_dir: str,
+        names: Optional[List[str]] = None,
+        color_fns: Optional[List[Callable]] = None,
+    ) -> List[str]:
         paths = []
         for i, mesh in enumerate(meshes):
             name = names[i] if names else f"{self.cfg.save_name}_{i}"
+            if self.cfg.fmt == "obj-mtl":
+                paths.append(self._export_obj_mtl(mesh, save_dir, name, color_fns[i] if color_fns else None))
+                continue
             path = os.path.join(save_dir, name, "model.obj")
-            v_nrm = mesh.vertex_normals()
             paths.append(
                 save_obj(
                     path, mesh.v_pos, mesh.t_pos_idx, v_rgb=mesh.v_rgb,
@@ -85,3 +93,32 @@ class MultipromptMeshExporter:
                 )
             )
         return paths
+
+    def _export_obj_mtl(self, mesh: Mesh, save_dir: str, name: str, color_fn=None) -> str:
+        """fmt=obj-mtl: per-face UV atlas + texture bake (reference uses
+        xatlas + nvdiffrast UV rasterization, exporter :57-141)."""
+        import numpy as np
+
+        from ...utils.uv_export import export_obj_mtl
+
+        v = np.asarray(mesh.v_pos)
+        f = np.asarray(mesh.t_pos_idx)
+        vm = np.asarray(mesh.valid_vert_mask())
+        fm = np.asarray(mesh.valid_face_mask())
+        remap = -np.ones(len(v), np.int64)
+        remap[vm] = np.arange(vm.sum())
+        verts = v[vm]
+        faces = remap[f[fm]]
+        faces = faces[(faces >= 0).all(axis=1)]
+        if color_fn is None:
+            rgb = np.asarray(mesh.v_rgb)[vm] if mesh.v_rgb is not None else np.full_like(verts, 0.7)
+
+            def color_fn(pos):
+                # nearest-vertex fallback when no field closure is given
+                d = ((pos[:, None, :] - verts[None, :500, :]) ** 2).sum(-1)
+                return rgb[:500][d.argmin(axis=1)]
+
+        obj_path, _, _ = export_obj_mtl(
+            os.path.join(save_dir, name), "model", verts, faces, color_fn
+        )
+        return obj_path
