@@ -322,14 +322,21 @@ class TriplaneTurboTrainer:
     # ------------------------------------------------------------------
 
     def _loss_fn(self, params, batch_list, timesteps, text_embeds, scalars, key):
+        """The 4-iteration denoise loop as ONE lax.scan: the (large) loop body
+        compiles once instead of num_parts times (reference unrolls in Python,
+        systems/...py:409-539)."""
         cfg = self.cfg
-        latent = batch_list[0]["noise"]
-        total = 0.0
-        metrics = {}
-        for i in range(cfg.num_parts_training):
-            batch = batch_list[i]
-            t = timesteps[i]
-            key, k_noise, k_render, k_guid = jax.random.split(key, 4)
+        latent0 = batch_list[0]["noise"]
+        # stack the per-step camera batches into scan inputs
+        common = [
+            {k: v for k, v in b.items() if k != "noise"} for b in batch_list
+        ]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *common)
+        keys = jax.random.split(key, cfg.num_parts_training)
+
+        def body(latent, inp):
+            batch, t, k = inp
+            k_noise, k_render, k_guid = jax.random.split(k, 3)
             noise = jax.random.normal(k_noise, latent.shape)
             noisy = add_noise(self.schedule, latent, noise, t)
             eps = self.geometry.apply(
@@ -344,15 +351,20 @@ class TriplaneTurboTrainer:
                 params, batch, space_cache, scalars, k_render,
                 text_embeds["global_21"],
             )
-            fid, gm = self._guidance_losses(
+            fid, _ = self._guidance_losses(
                 k_guid, out_1st, out_2nd, batch, text_embeds, scalars
             )
             regu = self._regularizers(out_1st, out_2nd, scalars)
-            total = total + (fid + regu) / cfg.num_parts_training
-            metrics[f"fidelity_{i}"] = fid
-            metrics[f"regularization_{i}"] = regu
-            latent = jax.lax.stop_gradient(denoised)
-        metrics["loss"] = total
+            return jax.lax.stop_gradient(denoised), (fid, regu)
+
+        _, (fids, regus) = jax.lax.scan(
+            body, latent0, (stacked, timesteps, keys)
+        )
+        total = (fids.sum() + regus.sum()) / cfg.num_parts_training
+        metrics = {"loss": total, "fidelity": fids.mean(), "regularization": regus.mean()}
+        for i in range(cfg.num_parts_training):
+            metrics[f"fidelity_{i}"] = fids[i]
+            metrics[f"regularization_{i}"] = regus[i]
         return total, metrics
 
     def _train_step(self, params, opt_state, batch_list, timesteps, text_embeds, scalars, key):
