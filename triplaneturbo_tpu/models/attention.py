@@ -23,7 +23,7 @@ LoRA placement parity with the reference:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from typing import Optional
 
 import flax.linen as nn

@@ -14,8 +14,6 @@ via custom_vjp — inference-critical today, training still correct.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ API parity: ``from_pretrained(path)``, ``pipeline(prompt=...)`` returning
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 from dataclasses import dataclass, field

@@ -18,7 +18,6 @@ over a Mesh axis with replicated params (SURVEY §2.7).
 
 from __future__ import annotations
 
-import functools
 import os
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Tuple
