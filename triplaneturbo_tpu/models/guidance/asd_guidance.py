@@ -210,14 +210,17 @@ class ASDGuidance:
         """MVDream branch: VAE-encode 256² renders, 4-view joint UNet."""
         cfg = self.cfg
         is_dual = rgb_2nd is not None
+        size = cfg.mv_image_size
+        # resize each renderer's output to the teacher size BEFORE stacking —
+        # the two renderers run at different resolutions (512² rasterize,
+        # 128² volume; reference encodes each set separately, :466-530)
+        rgb = jax.image.resize(rgb, (rgb.shape[0], size, size, 3), "bilinear")
         if is_dual:
+            rgb_2nd = jax.image.resize(rgb_2nd, (rgb_2nd.shape[0], size, size, 3), "bilinear")
             rgb = jnp.concatenate([rgb, rgb_2nd], axis=0)
             c2w = jnp.concatenate([c2w, c2w], axis=0)
         B = rgb.shape[0]
         Bp = B // cfg.n_view
-
-        size = cfg.mv_image_size
-        rgb = jax.image.resize(rgb, (B, size, size, 3), "bilinear")
         imgs = rgb * 2.0 - 1.0
         latents = self.mv.vae.apply(
             self.mv.vae_params, imgs, method=self.mv.vae.encode
@@ -268,16 +271,18 @@ class ASDGuidance:
         reference :780-797, 905-1105)."""
         cfg = self.cfg
         is_dual = normal_2nd is not None
+        size = cfg.rd_image_size
         geo = jnp.concatenate([normal * 2.0 - 1.0, disparity], axis=-1)  # [B,H,W,4]
+        geo = jax.image.resize(geo, (geo.shape[0], size, size, 4), "linear")
         if is_dual:
             geo2 = jnp.concatenate([normal_2nd * 2.0 - 1.0, disparity_2nd], axis=-1)
+            geo2 = jax.image.resize(geo2, (geo2.shape[0], size, size, 4), "linear")
             geo = jnp.concatenate([geo, geo2], axis=0)
             c2w = jnp.concatenate([c2w, c2w], axis=0)
             camera_distances_relative = jnp.concatenate([camera_distances_relative] * 2)
         B = geo.shape[0]
         Bp = B // cfg.n_view
-        size = cfg.rd_image_size
-        latents = jax.image.resize(geo, (B, size, size, 4), "linear")
+        latents = geo
 
         k_t, k_p, k_n = jax.random.split(key, 3)
         _t = jax.random.randint(k_t, (Bp,), min_step, max_step)
@@ -327,16 +332,17 @@ class ASDGuidance:
         Bp = B // cfg.n_view
         k_v, k_t, k_p, k_n = jax.random.split(key, 4)
 
+        size = cfg.sd_image_size
         view_idx = jax.random.randint(k_v, (Bp,), 0, cfg.n_view)
         flat_idx = jnp.arange(Bp) * cfg.n_view + view_idx
         sel = rgb[flat_idx]  # [Bp, H, W, 3]
+        sel = jax.image.resize(sel, (Bp, size, size, 3), "bilinear")
         if is_dual:
             oppo = (view_idx + cfg.n_view // 2) % cfg.n_view if cfg.sd_oppo_side else view_idx
             flat2 = jnp.arange(Bp) * cfg.n_view + oppo
-            sel = jnp.concatenate([sel, rgb_2nd[flat2]], axis=0)
+            sel2 = jax.image.resize(rgb_2nd[flat2], (Bp, size, size, 3), "bilinear")
+            sel = jnp.concatenate([sel, sel2], axis=0)
         n = sel.shape[0]
-        size = cfg.sd_image_size
-        sel = jax.image.resize(sel, (n, size, size, 3), "bilinear")
         latents = self.sd.vae.apply(
             self.sd.vae_params, sel * 2.0 - 1.0, method=self.sd.vae.encode
         )
