@@ -94,6 +94,37 @@ class ASDGuidance:
         self.schedule = schedule or make_schedule(SchedulerConfig())
         self.alphas = self.schedule.alphas_cumprod
 
+    def teacher_params(self) -> Dict[str, Any]:
+        """Teacher param pytree — pass this INTO jitted train steps so the
+        ~10 GB of frozen weights become jit arguments, not baked-in constants."""
+        out = {}
+        for name, b in (("mv", self.mv), ("rd", self.rd), ("sd", self.sd)):
+            if b is None:
+                continue
+            out[f"{name}_unet"] = b.unet_params
+            if b.vae_params is not None:
+                out[f"{name}_vae"] = b.vae_params
+        return out
+
+    def bind(self, params: Dict[str, Any]) -> "ASDGuidance":
+        """Return a copy whose bundles carry the given (possibly traced)
+        params; pairs with :meth:`teacher_params`."""
+        def rebind(name, b):
+            if b is None:
+                return None
+            return b._replace(
+                unet_params=params[f"{name}_unet"],
+                vae_params=params.get(f"{name}_vae", b.vae_params),
+            )
+
+        return ASDGuidance(
+            self.cfg,
+            mv=rebind("mv", self.mv),
+            rd=rebind("rd", self.rd),
+            sd=rebind("sd", self.sd),
+            schedule=self.schedule,
+        )
+
     # ------------------------------------------------------------------
     # ASD core
     # ------------------------------------------------------------------

@@ -288,10 +288,10 @@ class TriplaneTurboTrainer:
             loss += scalars["lambda_eikonal_2nd"] * out_2nd["eikonal"]
         return loss
 
-    def _guidance_losses(self, key, out_1st, out_2nd, batch, text_embeds, scalars):
+    def _guidance_losses(self, key, out_1st, out_2nd, batch, text_embeds, scalars, teacher_params):
         """Teacher ensemble in dual mode (both renderers through one pass,
         reference compute_guidance_n_loss :229-300)."""
-        g = self.guidance
+        g = self.guidance.bind(teacher_params)
         k_mv, k_rd, k_sd = jax.random.split(key, 3)
         mv = g.mv_branch(
             k_mv, out_1st["comp_rgb"], text_embeds["cond_21"], text_embeds["uncond_21"],
@@ -320,7 +320,7 @@ class TriplaneTurboTrainer:
 
     # ------------------------------------------------------------------
 
-    def _loss_fn(self, params, batch_list, timesteps, text_embeds, scalars, key):
+    def _loss_fn(self, params, batch_list, timesteps, text_embeds, scalars, key, teacher_params):
         """The 4-iteration denoise loop as ONE lax.scan: the (large) loop body
         compiles once instead of num_parts times (reference unrolls in Python,
         systems/...py:409-539)."""
@@ -351,7 +351,7 @@ class TriplaneTurboTrainer:
                 text_embeds["global_21"],
             )
             fid, _ = self._guidance_losses(
-                k_guid, out_1st, out_2nd, batch, text_embeds, scalars
+                k_guid, out_1st, out_2nd, batch, text_embeds, scalars, teacher_params
             )
             regu = self._regularizers(out_1st, out_2nd, scalars)
             return jax.lax.stop_gradient(denoised), (fid, regu)
@@ -366,9 +366,9 @@ class TriplaneTurboTrainer:
             metrics[f"regularization_{i}"] = regus[i]
         return total, metrics
 
-    def _train_step(self, params, opt_state, batch_list, timesteps, text_embeds, scalars, key):
+    def _train_step(self, params, opt_state, batch_list, timesteps, text_embeds, scalars, key, teacher_params):
         (loss, metrics), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-            params, batch_list, timesteps, text_embeds, scalars, key
+            params, batch_list, timesteps, text_embeds, scalars, key, teacher_params
         )
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -484,6 +484,7 @@ class TriplaneTurboTrainer:
         self.params, self.opt_state, metrics = self._train_step_jit(
             self.params, self.opt_state, batch_list,
             jnp.asarray(ts, jnp.int32), text_embeds, scalars, key,
+            self.guidance.teacher_params(),
         )
         self.global_step += 1
         return metrics
