@@ -181,3 +181,13 @@ def test_eval_views_and_artifacts(trainer, tmp_path):
     paths = trainer.save_eval_artifacts(views, str(tmp_path), "it0-val")
     import os
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_parallel_guidance_mode(trainer):
+    # flip to parallel (dual-stack) mode and run one step
+    trainer.cfg.parallel_guidance = True
+    trainer._train_step_jit = jax.jit(trainer._train_step)  # re-trace
+    metrics = trainer.train_step(make_batch(), make_text_embeds(), jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["loss"]))
+    trainer.cfg.parallel_guidance = False
+    trainer._train_step_jit = jax.jit(trainer._train_step)

@@ -289,34 +289,68 @@ class TriplaneTurboTrainer:
         return loss
 
     def _guidance_losses(self, key, out_1st, out_2nd, batch, text_embeds, scalars, teacher_params):
-        """Teacher ensemble in dual mode (both renderers through one pass,
-        reference compute_guidance_n_loss :229-300)."""
+        """Teacher ensemble (reference compute_guidance_n_loss :229-300).
+
+        parallel_guidance=True stacks both renderers through one teacher pass
+        (the reference's >=98GB mode); False runs the two renderers through
+        the teachers sequentially — same math, half the peak activations
+        (v1 default, configs/TriplaneTurbo_v1.yaml:58)."""
         g = self.guidance.bind(teacher_params)
         k_mv, k_rd, k_sd = jax.random.split(key, 3)
-        mv = g.mv_branch(
-            k_mv, out_1st["comp_rgb"], text_embeds["cond_21"], text_embeds["uncond_21"],
-            batch["c2w"], scalars["mv_min_step"], scalars["mv_max_step"],
-            scalars["mv_guidance_scale"], rgb_2nd=out_2nd["comp_rgb"],
-        )
-        rd = g.rd_branch(
-            k_rd, out_1st["comp_normal_cam_vis"], out_1st["disparity"],
-            text_embeds["cond_15"], text_embeds["uncond_15"], batch["c2w"],
-            batch["camera_distances_relative"],
-            scalars["rd_min_step"], scalars["rd_max_step"],
-            scalars["rd_guidance_scale"],
-            normal_2nd=out_2nd["comp_normal_cam_vis"],
-            disparity_2nd=out_2nd["disparity"],
-        )
-        sd = g.sd_branch(
-            k_sd, out_1st["comp_rgb"], text_embeds["cond_21"], text_embeds["uncond_21"],
-            scalars["sd_min_step"], scalars["sd_max_step"],
-            scalars["sd_guidance_scale"], rgb_2nd=out_2nd["comp_rgb"],
-        )
+
+        def mv(k, rgb, rgb_2nd):
+            return g.mv_branch(
+                k, rgb, text_embeds["cond_21"], text_embeds["uncond_21"],
+                batch["c2w"], scalars["mv_min_step"], scalars["mv_max_step"],
+                scalars["mv_guidance_scale"], rgb_2nd=rgb_2nd,
+            )
+
+        def rd(k, n, d, n2, d2):
+            return g.rd_branch(
+                k, n, d, text_embeds["cond_15"], text_embeds["uncond_15"],
+                batch["c2w"], batch["camera_distances_relative"],
+                scalars["rd_min_step"], scalars["rd_max_step"],
+                scalars["rd_guidance_scale"], normal_2nd=n2, disparity_2nd=d2,
+            )
+
+        def sd(k, rgb, rgb_2nd):
+            return g.sd_branch(
+                k, rgb, text_embeds["cond_21"], text_embeds["uncond_21"],
+                scalars["sd_min_step"], scalars["sd_max_step"],
+                scalars["sd_guidance_scale"], rgb_2nd=rgb_2nd,
+            )
+
         fid = 0.0
-        for branch in (mv, rd, sd):
-            fid = fid + scalars["lambda_asd"] * branch["loss_asd"][0]
-            fid = fid + scalars["lambda_asd_2nd"] * branch["loss_asd"][1]
-        return fid, {"mv_t": mv["t"], "grad_norm_mv": mv["grad_norm"]}
+        if self.cfg.parallel_guidance:
+            mv_o = mv(k_mv, out_1st["comp_rgb"], out_2nd["comp_rgb"])
+            rd_o = rd(
+                k_rd, out_1st["comp_normal_cam_vis"], out_1st["disparity"],
+                out_2nd["comp_normal_cam_vis"], out_2nd["disparity"],
+            )
+            sd_o = sd(k_sd, out_1st["comp_rgb"], out_2nd["comp_rgb"])
+            for branch in (mv_o, rd_o, sd_o):
+                fid = fid + scalars["lambda_asd"] * branch["loss_asd"][0]
+                fid = fid + scalars["lambda_asd_2nd"] * branch["loss_asd"][1]
+            gn = mv_o["grad_norm"]
+        else:
+            k1 = jax.random.split(k_mv, 2)
+            k2 = jax.random.split(k_rd, 2)
+            k3 = jax.random.split(k_sd, 2)
+            first = 0.0
+            second = 0.0
+            gn = None
+            for k_, out_, lam in ((0, out_1st, "lambda_asd"), (1, out_2nd, "lambda_asd_2nd")):
+                mv_o = mv(jnp.asarray([k1[k_]])[0], out_["comp_rgb"], None)
+                rd_o = rd(
+                    jnp.asarray([k2[k_]])[0], out_["comp_normal_cam_vis"],
+                    out_["disparity"], None, None,
+                )
+                sd_o = sd(jnp.asarray([k3[k_]])[0], out_["comp_rgb"], None)
+                term = mv_o["loss_asd"] + rd_o["loss_asd"] + sd_o["loss_asd"]
+                fid = fid + scalars[lam] * term
+                if gn is None:
+                    gn = mv_o["grad_norm"]
+        return fid, {"grad_norm_mv": gn}
 
     # ------------------------------------------------------------------
 
