@@ -230,20 +230,28 @@ class TriplaneTurboTrainer:
             def_grad_shrink=scalars["def_grad_shrink"],
         )
 
-        # 2nd renderer: patch-wrapped NeuS volume renderer; space cache is
-        # repeated per view for the field closure
+        # 2nd renderer: patch-wrapped NeuS volume renderer. Points arrive
+        # grouped per VIEW ([B, M, 3]); regroup per SPACE-CACHE item instead
+        # of repeating the cache per view — repeating makes XLA materialize
+        # nv x [6,256,256,C] gather-gradient temps (HBM blowup on backward)
         nv = batch["rays_o"].shape[0] // Bsc
-        cache_rep = jnp.repeat(space_cache, nv, axis=0)
 
         def field_fn(points, with_normal):
-            out = self.geometry.apply(params["geometry"], points, cache_rep)
+            B, M, _ = points.shape
+            pts = points.reshape(Bsc, nv * M, 3)
+
+            def ungroup(x):
+                return x.reshape(B, M, *x.shape[2:])
+
+            out = self.geometry.apply(params["geometry"], pts, space_cache)
+            out = {k: ungroup(v) for k, v in out.items()}
             if with_normal:
                 def sdf_fn(p):
                     return self.geometry.apply(
-                        params["geometry"], p, cache_rep, method=self.geometry.forward_sdf
+                        params["geometry"], p, space_cache, method=self.geometry.forward_sdf
                     ).sum()
 
-                grad = jax.grad(sdf_fn)(points)
+                grad = ungroup(jax.grad(sdf_fn)(pts))
                 out["sdf_grad"] = grad
                 out["normal"] = grad / jnp.maximum(
                     jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-8
