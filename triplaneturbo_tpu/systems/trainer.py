@@ -398,8 +398,12 @@ class TriplaneTurboTrainer:
             regu = self._regularizers(out_1st, out_2nd, scalars)
             return jax.lax.stop_gradient(denoised), (fid, regu)
 
+        # remat each denoise step: without it the scan stores every step's
+        # residuals simultaneously (num_parts x the renderer/teacher
+        # activations — OOM at real sizes); the reference checkpoints the
+        # heavy submodules for the same reason (SURVEY §2.7)
         _, (fids, regus) = jax.lax.scan(
-            body, latent0, (stacked, timesteps, keys)
+            jax.checkpoint(body), latent0, (stacked, timesteps, keys)
         )
         total = (fids.sum() + regus.sum()) / cfg.num_parts_training
         metrics = {"loss": total, "fidelity": fids.mean(), "regularization": regus.mean()}
