@@ -87,6 +87,7 @@ class TriplaneSpaceGenerator(nn.Module):
             output_dim=c.output_dim,
             rank=c.rank("locon"),
             dtype_str=c.dtype_str,
+            remat=c.gradient_checkpoint,
         )
         from dataclasses import replace as _r
 

@@ -39,6 +39,7 @@ class VAEConfig:
     locon_type: str = "none"
     rank: int = 16
     scaling_factor: float = 0.18215
+    remat: bool = False
     dtype_str: str = "float32"
 
     @property
@@ -83,21 +84,24 @@ class Decoder(nn.Module):
             time_emb_dim=None, groups=32, eps=1e-6, locon_type=cfg.locon_type,
             locon_rank=cfg.rank, dtype=dtype,
         )
+        # remat each resnet when training memory is tight (the 256² x 6-plane
+        # decode backward otherwise stores every up-block activation)
+        ResBlock = nn.remat(ResnetBlock2D) if cfg.remat else ResnetBlock2D
         ch_top = cfg.block_out_channels[-1]
         h = AdaptedConv(ch_top, locon_type="none", dtype=dtype, name="conv_in")(
             z.astype(dtype), lora_scale
         )
         # mid
-        h = ResnetBlock2D(out_channels=ch_top, name="mid_res_0", **res_kw)(h, None, lora_scale)
+        h = ResBlock(out_channels=ch_top, name="mid_res_0", **res_kw)(h, None, lora_scale)
         h = VAEAttnBlock(
             ch_top, lora_type=cfg.attn_lora_type, rank=cfg.rank, dtype=dtype, name="mid_attn"
         )(h, lora_scale)
-        h = ResnetBlock2D(out_channels=ch_top, name="mid_res_1", **res_kw)(h, None, lora_scale)
+        h = ResBlock(out_channels=ch_top, name="mid_res_1", **res_kw)(h, None, lora_scale)
         # up
         rev = tuple(reversed(cfg.block_out_channels))
         for i, ch in enumerate(rev):
             for j in range(cfg.layers_per_block + 1):
-                h = ResnetBlock2D(out_channels=ch, name=f"up_{i}_res_{j}", **res_kw)(
+                h = ResBlock(out_channels=ch, name=f"up_{i}_res_{j}", **res_kw)(
                     h, None, lora_scale
                 )
             if i < len(rev) - 1:
@@ -186,7 +190,9 @@ class AutoencoderKL(nn.Module):
         return self.decode(z, lora_scale)
 
 
-def student_vae_config(output_dim: int = 64, rank: int = 16, dtype_str: str = "float32") -> VAEConfig:
+def student_vae_config(
+    output_dim: int = 64, rank: int = 16, dtype_str: str = "float32", remat: bool = False
+) -> VAEConfig:
     """The retrofitted student decoder (vae_attn_type 'basic', vanilla_v1
     LoCon, 64ch conv_out; triplaneturbo_text_to_3d.py:57-66)."""
     return VAEConfig(
@@ -195,4 +201,5 @@ def student_vae_config(output_dim: int = 64, rank: int = 16, dtype_str: str = "f
         locon_type="vanilla_v1",
         rank=rank,
         dtype_str=dtype_str,
+        remat=remat,
     )
