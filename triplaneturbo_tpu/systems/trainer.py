@@ -259,6 +259,8 @@ class TriplaneTurboTrainer:
             out["features"] = self.material_fn(out["features"])
             return out
 
+        field_fn = jax.checkpoint(field_fn, static_argnums=(1,))
+
         def base_renderer(ro, rd, key=None, train=True, **kw):
             return self.volume_renderer.apply(
                 params["renderer"], ro, rd, field_fn, background_fn,
