@@ -132,9 +132,20 @@ class TriplaneSpaceGenerator(nn.Module):
         return eps.reshape(B, P, H, W, C)
 
     def decode(self, latents: jax.Array, lora_scale: float = 1.0) -> jax.Array:
-        """[B, P, h, w, 4] -> [B, P, 8h, 8w, output_dim] feature planes."""
+        """[B, P, h, w, 4] -> [B, P, 8h, 8w, output_dim] feature planes.
+
+        With gradient_checkpoint the six planes decode sequentially
+        (lax.map + remat): the decoder is plane-independent, so peak
+        activation memory drops 6x for the same FLOPs — needed to fit the
+        training step in one chip's HBM (the reference instead demands
+        >=46 GB GPUs, README.md:197-205).
+        """
         c = self.cfg
         B, P, h, w, C = latents.shape
+        if c.gradient_checkpoint:
+            dec = nn.remat(lambda mdl, l: mdl.vae.decode(l, lora_scale))
+            outs = [dec(self, latents[:, p]) for p in range(P)]
+            return jnp.stack(outs, axis=1)
         x = latents.reshape(B * P, h, w, C)
         planes = self.vae.decode(x, lora_scale)
         return planes.reshape(B, P, *planes.shape[-3:])
