@@ -374,9 +374,9 @@ class ASDGuidance:
             sel2 = jax.image.resize(rgb_2nd[flat2], (Bp, size, size, 3), "bilinear")
             sel = jnp.concatenate([sel, sel2], axis=0)
         n = sel.shape[0]
-        latents = self.sd.vae.apply(
-            self.sd.vae_params, sel * 2.0 - 1.0, method=self.sd.vae.encode
-        )
+        latents = jax.checkpoint(
+            lambda p_, im: self.sd.vae.apply(p_, im, method=self.sd.vae.encode)
+        )(self.sd.vae_params, sel * 2.0 - 1.0)
 
         _t = jax.random.randint(k_t, (Bp,), min_step, max_step)
         _tp = self.get_t_plus(k_p, _t, cfg.sd_plus_ratio, cfg.sd_plus_random, min_step)
