@@ -78,12 +78,25 @@ def build_teacher(
     ctx = jnp.zeros((n, 77, ucfg.cross_attention_dim))
     cam = jnp.zeros((n, ucfg.camera_dim)) if ucfg.camera_dim else None
     uparams = jax.jit(lambda k: unet.init(k, x, jnp.zeros((n,)), ctx, cam))(key)
+
+    def to_model_dtype(tree):
+        # flax `dtype` is compute-only; params init as f32. Frozen teachers
+        # can live in bf16 outright (halves ~11 GB of teacher weights).
+        if dtype_str != "bfloat16":
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, tree
+        )
+
+    uparams = to_model_dtype(uparams)
     vae = vparams = None
     if kind in ("mv", "sd"):
         vae = AutoencoderKL(VAEConfig(dtype_str=dtype_str, **vae_sizes))
         img = jnp.zeros((1, 32, 32, 3))
-        vparams = jax.jit(lambda k: vae.init(k, img, method=vae.encode))(
-            jax.random.fold_in(key, 7)
+        vparams = to_model_dtype(
+            jax.jit(lambda k: vae.init(k, img, method=vae.encode))(
+                jax.random.fold_in(key, 7)
+            )
         )
     return TeacherBundle(unet, uparams, vae, vparams)
 

@@ -142,6 +142,14 @@ class TriplaneTurboTrainer:
             "background": jax.tree_util.tree_map(lambda _: True, background_params),
             "renderer": jax.tree_util.tree_map(lambda _: True, volume_params),
         }
+        # frozen leaves of the student (the SD backbone) can live in the
+        # compute dtype: bf16 storage halves ~3.6 GB of frozen weights while
+        # trainable adapters/MLPs stay f32
+        if geometry.cfg.space_generator.dtype_str == "bfloat16":
+            self.params["geometry"] = jax.tree_util.tree_map(
+                lambda p, m: p if m or p.dtype != jnp.float32 else p.astype(jnp.bfloat16),
+                self.params["geometry"], self.train_mask["geometry"],
+            )
         labels = jax.tree_util.tree_map(
             lambda m: "train" if m else "freeze", self.train_mask
         )
