@@ -129,9 +129,62 @@ def test_quaplane_and_hplane_variants():
         np.asarray(sample_from_quaplanes(qp, pts_front, "v1")),
         atol=1e-2,
     )
-    for mode, ch in [(None, 6), ("v1", 6), ("v2", 9), ("v3", 9)]:
+    for mode, ch in [(None, 6), ("v1", 6), ("v2", 9), ("v3", 9), ("v4", 3), ("v5", 3), ("v6", 2), ("v7", 2)]:
         out_h = sample_from_hplanes(hp, pts, mode)
         assert out_h.shape == (2, 17, ch), mode
+
+
+def _torch_sample_from_hplanes(pf_nchw, coords, mode, box_warp=2.0):
+    """Torch mirror of the reference Hplane sampler semantics
+    (geometry/utils.py:213-362): projections (x,z), (z,y), (z,y)."""
+    N, n_planes, C, H, W = pf_nchw.shape
+    _, M, _ = coords.shape
+    pf = pf_nchw.reshape(N * n_planes, C, H, W)
+    c = (2.0 / box_warp) * coords
+    x = c[..., 0:1]
+    projs = torch.stack(
+        [
+            torch.cat([c[..., 0:1], c[..., 2:3]], -1),
+            torch.cat([c[..., 2:3], c[..., 1:2]], -1),
+            torch.cat([c[..., 2:3], c[..., 1:2]], -1),
+        ],
+        dim=1,
+    ).reshape(N * n_planes, 1, M, 2)
+    out = F.grid_sample(pf, projs, mode="bilinear", padding_mode="zeros", align_corners=False)
+    out = out.permute(0, 3, 2, 1).reshape(N, n_planes, M, C)
+    side, front, back = out[:, 0], out[:, 1], out[:, 2]
+
+    def trapezoid(thres):
+        a_hi = 1 - (x - thres) / (1 - thres)
+        a_lo = (x + 1) / (thres + 1)
+        return torch.where(x > thres, a_hi, a_lo)
+
+    if mode == "v4":
+        return side + front * trapezoid(0.5) + back * trapezoid(-0.5)
+    if mode == "v5":
+        return side + front * (0.5 + 0.5 * x) + back * (0.5 - 0.5 * x)
+    if mode == "v6":
+        alpha = torch.sigmoid(out[..., -1:])
+        return (out[..., :-1] * alpha).sum(dim=1)
+    if mode == "v7":
+        bias = torch.cat([torch.zeros_like(x), 0.5 + 0.5 * x, 0.5 - 0.5 * x], -1)
+        alpha = torch.sigmoid(out[..., -1:]) + bias.permute(0, 2, 1).unsqueeze(-1)
+        return (out[..., :-1] * alpha).sum(dim=1)
+    raise ValueError(mode)
+
+
+def test_hplane_v4_to_v7_torch_parity():
+    from triplaneturbo_tpu.ops.triplane import sample_from_hplanes
+
+    rng = np.random.RandomState(7)
+    N, C, H, W, M = 2, 5, 12, 12, 33
+    pf = rng.randn(N, 3, C, H, W).astype(np.float32)
+    coords = rng.uniform(-0.95, 0.95, size=(N, M, 3)).astype(np.float32)
+    pf_jax = jnp.asarray(np.moveaxis(pf, 2, -1))
+    for mode in ["v4", "v5", "v6", "v7"]:
+        ours = sample_from_hplanes(pf_jax, jnp.asarray(coords), mode)
+        ref = _torch_sample_from_hplanes(torch.from_numpy(pf), torch.from_numpy(coords), mode)
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-4, err_msg=mode)
 
 
 def test_chunk_batch_and_ops():

@@ -172,11 +172,13 @@ def sample_from_hplanes(
     """H-plane variant: one side (xz) plane + front/back zy planes.
 
     Rebuild of sample_from_Hplanes (geometry/utils.py:213-362) for the
-    documented variants: None (hard front/back select -> 2C), v1 (linear
+    full variant set: None (hard front/back select -> 2C), v1 (linear
     front/back alpha -> 2C), v2 (side weighted by 1-|y|, front/back by x ->
-    3C), v3 (trapezoid front/back masks with 0.5 thresholds -> 3C). Variants
-    v4-v7 are further alpha-shaping experiments unused by the released
-    models; they raise until needed.
+    3C), v3 (trapezoid front/back masks with 0.5 thresholds -> 3C), v4
+    (v3's trapezoid alphas but summed over planes -> C), v5 (linear alphas
+    summed -> C), v6 (learned per-plane sigmoid alpha from the last feature
+    channel, summed -> C-1), v7 (v6's learned alpha plus v5's linear bias ->
+    C-1).
     """
     N, n_planes, H, W, C = plane_features.shape
     assert n_planes == 3
@@ -219,6 +221,25 @@ def sample_from_hplanes(
         a_front = trapezoid(0.5)
         a_back = trapezoid(-0.5)
         return jnp.concatenate([side, front_f * a_front, back_f * a_back], axis=-1)
+    if interpolate_feat == "v4":
+        def trapezoid(thres):
+            a_hi = 1.0 - (xe - thres) / (1.0 - thres)
+            a_lo = (xe + 1.0) / (thres + 1.0)
+            return jnp.where(xe > thres, a_hi, a_lo)
+
+        return side + front_f * trapezoid(0.5) + back_f * trapezoid(-0.5)
+    if interpolate_feat == "v5":
+        return side + front_f * (0.5 + 0.5 * xe) + back_f * (0.5 - 0.5 * xe)
+    if interpolate_feat == "v6":
+        alpha = jax.nn.sigmoid(feats[..., -1:])  # [N, 3, M, 1]
+        return (feats[..., :-1] * alpha).sum(axis=1)
+    if interpolate_feat == "v7":
+        zeros = jnp.zeros_like(xe)
+        bias = jnp.stack(
+            [zeros, 0.5 + 0.5 * xe, 0.5 - 0.5 * xe], axis=1
+        )  # [N, 3, M, 1]
+        alpha = jax.nn.sigmoid(feats[..., -1:]) + bias
+        return (feats[..., :-1] * alpha).sum(axis=1)
     raise ValueError(f"Hplane interpolate_feat {interpolate_feat} not implemented")
 
 
