@@ -152,3 +152,51 @@ def test_phase_timer():
         pass
     rep = phase_report()
     assert "unit" in rep and rep["unit"]["count"] >= 1
+
+
+def test_mesh_vertex_tangents_torch_parity():
+    """Tangents match the reference algorithm (threestudio mesh.py:162-205)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+    from triplaneturbo_tpu.utils.mesh import Mesh
+
+    rng = np.random.RandomState(3)
+    # small fan of triangles sharing vertex 0, with random UVs
+    v = rng.randn(6, 3).astype(np.float32)
+    f = np.asarray([[0, 1, 2], [0, 2, 3], [0, 3, 4], [0, 4, 5]], np.int32)
+    uv = rng.rand(6, 2).astype(np.float32)
+
+    mesh = Mesh(v_pos=jnp.asarray(v), t_pos_idx=jnp.asarray(f), v_tex=jnp.asarray(uv))
+    ours = np.asarray(mesh.vertex_tangents())
+
+    # torch mirror of the reference algorithm
+    vp, tp, tx = torch.from_numpy(v), torch.from_numpy(f).long(), torch.from_numpy(uv)
+    pos = [vp[tp[:, i]] for i in range(3)]
+    tex = [tx[tp[:, i]] for i in range(3)]
+    i0, i1, i2 = tp[:, 0], tp[:, 1], tp[:, 2]
+    fn = torch.cross(pos[1] - pos[0], pos[2] - pos[0], dim=-1)
+    vn = torch.zeros_like(vp)
+    for i in range(3):
+        vn.scatter_add_(0, tp[:, i][:, None].repeat(1, 3), fn)
+    vn = torch.where((vn * vn).sum(-1, keepdim=True) > 1e-20, vn, torch.tensor([0.0, 0.0, 1.0]))
+    vn = F.normalize(vn, dim=1)
+    uve1, uve2 = tex[1] - tex[0], tex[2] - tex[0]
+    pe1, pe2 = pos[1] - pos[0], pos[2] - pos[0]
+    nom = pe1 * uve2[..., 1:2] - pe2 * uve1[..., 1:2]
+    denom = uve1[..., 0:1] * uve2[..., 1:2] - uve1[..., 1:2] * uve2[..., 0:1]
+    tang = nom / torch.where(denom > 0.0, denom.clamp(min=1e-6), denom.clamp(max=-1e-6))
+    tangents = torch.zeros_like(vn)
+    tansum = torch.zeros_like(vn)
+    for i in range(3):
+        idx = tp[:, i][:, None].repeat(1, 3)
+        tangents.scatter_add_(0, idx, tang)
+        tansum.scatter_add_(0, idx, torch.ones_like(tang))
+    tangents = F.normalize(tangents / tansum, dim=1)
+    ref = F.normalize(tangents - (tangents * vn).sum(-1, keepdim=True) * vn, dim=1).numpy()
+
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    # orthogonal to normals
+    vn_ours = np.asarray(mesh.vertex_normals())
+    assert np.abs((ours * vn_ours).sum(-1)).max() < 1e-5

@@ -83,6 +83,59 @@ class Mesh:
         vn = vn / jnp.sqrt(jnp.maximum((vn * vn).sum(-1, keepdims=True), eps))
         return vn * self.valid_vert_mask()[:, None]
 
+    def vertex_tangents(
+        self,
+        t_tex_idx: Optional[jax.Array] = None,
+        eps: float = 1e-20,
+    ) -> jax.Array:
+        """Per-vertex tangents from UVs, for tangent-space normal mapping.
+
+        Mirrors reference ``_compute_vertex_tangent``
+        (threestudio/models/mesh.py:162-205): per-face tangent from the UV
+        Jacobian, scatter-averaged onto vertices, normalized, then Gram-Schmidt
+        orthogonalized against the vertex normal. Degenerate UV triangles get
+        the same signed clamp of the denominator (|denom| >= 1e-6).
+
+        Requires ``v_tex``; ``t_tex_idx`` defaults to ``t_pos_idx`` (shared
+        position/UV topology, the case the reference exporter produces).
+        """
+        if self.v_tex is None:
+            raise ValueError("vertex_tangents requires v_tex UV coordinates")
+        tex_idx = self.t_pos_idx if t_tex_idx is None else t_tex_idx
+        i0, i1, i2 = self.t_pos_idx[:, 0], self.t_pos_idx[:, 1], self.t_pos_idx[:, 2]
+        p0, p1, p2 = self.v_pos[i0], self.v_pos[i1], self.v_pos[i2]
+        t0, t1, t2 = self.v_tex[tex_idx[:, 0]], self.v_tex[tex_idx[:, 1]], self.v_tex[tex_idx[:, 2]]
+
+        uve1 = t1 - t0
+        uve2 = t2 - t0
+        pe1 = p1 - p0
+        pe2 = p2 - p0
+        nom = pe1 * uve2[:, 1:2] - pe2 * uve1[:, 1:2]
+        denom = uve1[:, 0:1] * uve2[:, 1:2] - uve1[:, 1:2] * uve2[:, 0:1]
+        denom = jnp.where(
+            denom > 0.0, jnp.maximum(denom, 1e-6), jnp.minimum(denom, -1e-6)
+        )
+        fm = self.valid_face_mask().astype(self.v_pos.dtype)[:, None]
+        tang = (nom / denom) * fm
+
+        V = self.v_pos.shape[0]
+        tangents = jnp.zeros((V, 3), self.v_pos.dtype)
+        tansum = jnp.zeros((V, 3), self.v_pos.dtype)
+        for k in range(3):
+            tangents = tangents.at[self.t_pos_idx[:, k]].add(tang)
+            tansum = tansum.at[self.t_pos_idx[:, k]].add(
+                jnp.broadcast_to(fm, tang.shape)
+            )
+        tangents = tangents / jnp.maximum(tansum, 1.0)
+
+        def _normalize(x):
+            return x / jnp.sqrt(jnp.maximum((x * x).sum(-1, keepdims=True), eps))
+
+        vn = self.v_nrm if self.v_nrm is not None else self.vertex_normals()
+        tangents = _normalize(tangents)
+        tangents = _normalize(tangents - (tangents * vn).sum(-1, keepdims=True) * vn)
+        return tangents * self.valid_vert_mask()[:, None]
+
     def normal_consistency(self) -> jax.Array:
         """Mean (1 - cos) between vertex normals across each face edge
         (reference mesh.py:248-253 uses packed edge pairs; the masked mean
