@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 import triplaneturbo_tpu as ttt
 
-from ...ops.isosurface import force_field_crossing, marching_tets
+from ...ops.isosurface import extract_isosurface, force_field_crossing
 from ...utils.mesh import Mesh
 from ...utils.saving import save_obj
 
@@ -32,6 +32,8 @@ class MeshExporterConfig:
     isosurface_resolution: int = 160
     max_verts: int = 262144
     max_faces: int = 524288
+    # "mc" matches the reference's diso DiffMC (marching cubes) topology
+    isosurface_method: str = "mc"
 
 
 @ttt.register("multiprompt-mesh-exporter")
@@ -53,9 +55,10 @@ class MultipromptMeshExporter:
             cache_i = space_cache[i : i + 1]
             sdf, deform = forward_field_grid(cache_i, R)
             sdf = force_field_crossing(sdf.reshape(-1), R)
-            m = marching_tets(
+            m = extract_isosurface(
                 sdf.reshape(R, R, R),
                 None if deform is None else deform.reshape(R, R, R, 3),
+                method=cfg.isosurface_method,
                 max_verts=cfg.max_verts,
                 max_faces=cfg.max_faces,
             )

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 import triplaneturbo_tpu as ttt
 
-from ...ops.isosurface import force_field_crossing, marching_tets
+from ...ops.isosurface import extract_isosurface, force_field_crossing
 from ...ops.rasterize import RasterOut, antialias, interpolate, rasterize
 from ...utils.mesh import Mesh
 
@@ -45,6 +45,8 @@ class RasterizeRendererConfig:
     normal_direction: str = "camera"
     max_verts: int = 196608
     max_faces: int = 393216
+    # "mc" matches the reference's diso DiffMC (marching cubes) topology
+    isosurface_method: str = "mc"
     field_chunk: int = 262144
     tile: int = 16
     faces_per_tile: int = 1024
@@ -110,9 +112,10 @@ class GenerativeSpaceMeshRasterizeRenderer:
             deform = dgs * deform + (1.0 - dgs) * jax.lax.stop_gradient(deform)
 
             sdf = force_field_crossing(sdf, R)
-            m = marching_tets(
+            m = extract_isosurface(
                 sdf.reshape(R, R, R),
                 deform.reshape(R, R, R, 3) if cfg.isosurface_deformable_grid else None,
+                method=cfg.isosurface_method,
                 max_verts=cfg.max_verts,
                 max_faces=cfg.max_faces,
             )

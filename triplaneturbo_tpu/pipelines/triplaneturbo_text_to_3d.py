@@ -37,7 +37,7 @@ from ..models.schedulers import (
     make_schedule,
 )
 from ..models.tokenizer import CLIPTokenizer
-from ..ops.isosurface import ExtractedMesh, marching_tets
+from ..ops.isosurface import ExtractedMesh, extract_isosurface
 from ..utils.mesh import Mesh
 from ..utils.saving import save_obj
 
@@ -63,8 +63,13 @@ class TriplaneTurboPipelineConfig:
     color_activation: str = "sigmoid-mipnerf"
     isosurface_resolution: int = 160
     isosurface_deformable_grid: bool = True
-    max_verts: int = 262144
-    max_faces: int = 524288
+    # "mc" matches the reference's diso DiffMC (marching cubes,
+    # triplaneturbo_text_to_3d.py:72); MC emits ~2x fewer vertices than the
+    # 6-tet decomposition so the buffers (and every capacity-scaled cost)
+    # shrink accordingly
+    isosurface_method: str = "mc"
+    max_verts: int = 196608
+    max_faces: int = 393216
     field_chunk: int = 256_000
     sample_scheduler: str = "ddim"
     dtype_str: str = "float32"
@@ -268,9 +273,10 @@ class TriplaneTurboTextTo3DPipeline:
         grid = jnp.stack(jnp.meshgrid(lin, lin, lin, indexing="ij"), axis=-1).reshape(-1, 3)
         has_crossing = jnp.any(sdf > 0) & jnp.any(sdf < 0)
         sdf = jnp.where(has_crossing, sdf, jnp.linalg.norm(grid, axis=-1) - 1.0)
-        m = marching_tets(
+        m = extract_isosurface(
             sdf.reshape(R, R, R),
             deform.reshape(R, R, R, 3) if cfg.isosurface_deformable_grid else None,
+            method=cfg.isosurface_method,
             max_verts=cfg.max_verts,
             max_faces=cfg.max_faces,
         )
