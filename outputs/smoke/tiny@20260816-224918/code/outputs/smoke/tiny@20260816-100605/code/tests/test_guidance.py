@@ -1,0 +1,148 @@
+"""ASD guidance: t-plus schedule, per-branch losses on tiny teachers,
+gradient flow into renders, dual-render mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from triplaneturbo_tpu.models.attention import AdapterSpec
+from triplaneturbo_tpu.models.guidance.asd_guidance import (
+    ASDConfig,
+    ASDGuidance,
+    TeacherBundle,
+)
+from triplaneturbo_tpu.models.unet import UNet2DConditionModel, UNetConfig
+from triplaneturbo_tpu.models.vae import AutoencoderKL, VAEConfig
+
+TINY = dict(
+    block_out_channels=(16, 32),
+    layers_per_block=1,
+    attention_head_dim=8,
+)
+
+
+def make_teacher(cross_dim=16, camera_dim=None, joint=4, with_vae=True, latent_hw=8):
+    cfg = UNetConfig(
+        cross_attention_dim=cross_dim,
+        camera_dim=camera_dim,
+        adapters=AdapterSpec(joint_self_attention=joint is not None, joint_group=joint or 1),
+        **TINY,
+    )
+    unet = UNet2DConditionModel(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((4, latent_hw, latent_hw, 4))
+    ctx = jnp.zeros((4, 7, cross_dim))
+    cam = jnp.zeros((4, camera_dim)) if camera_dim else None
+    params = unet.init(key, x, jnp.zeros((4,)), ctx, cam)
+    vae = vae_params = None
+    if with_vae:
+        vae = AutoencoderKL(VAEConfig(block_out_channels=(8, 16), layers_per_block=1))
+        img = jnp.zeros((1, 16, 16, 3))
+        vae_params = vae.init(jax.random.PRNGKey(1), img, method=vae.encode)
+    return TeacherBundle(unet, params, vae, vae_params)
+
+
+@pytest.fixture(scope="module")
+def guidance():
+    cfg = ASDConfig(mv_image_size=16, rd_image_size=8, sd_image_size=16)
+    return ASDGuidance(
+        cfg,
+        mv=make_teacher(16, camera_dim=16, joint=4),
+        rd=make_teacher(16, camera_dim=16, joint=4, with_vae=False),
+        sd=make_teacher(16, camera_dim=None, joint=None),
+    )
+
+
+def _cams(B):
+    from triplaneturbo_tpu.utils.camera import camera_to_world
+
+    az = jnp.linspace(0, 2 * jnp.pi, B, endpoint=False)
+    return camera_to_world(jnp.zeros((B,)), az, jnp.full((B,), 2.0))
+
+
+def test_t_plus_range(guidance):
+    t = jnp.asarray([100, 500, 900])
+    tp = guidance.get_t_plus(jax.random.PRNGKey(0), t, 0.5, True, jnp.asarray(20))
+    tp = np.asarray(tp)
+    assert (tp >= np.asarray(t)).all()
+    assert (tp <= 999).all()
+    # deterministic variant: exact linear rule
+    tp2 = guidance.get_t_plus(jax.random.PRNGKey(0), t, 0.5, False, jnp.asarray(20))
+    np.testing.assert_array_equal(
+        np.asarray(tp2), np.minimum(np.asarray(t) + (0.5 * (np.asarray(t) - 20)).astype(int), 999)
+    )
+
+
+def test_mv_branch_loss_and_grad(guidance):
+    B = 4
+    rgb = jax.random.uniform(jax.random.PRNGKey(1), (B, 24, 24, 3))
+    text_c = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16))
+    text_u = jnp.zeros_like(text_c)
+    c2w = _cams(B)
+
+    def loss_fn(rgb_):
+        out = guidance.mv_branch(
+            jax.random.PRNGKey(3), rgb_, text_c, text_u, c2w,
+            jnp.asarray(20), jnp.asarray(980), jnp.asarray(10.0),
+        )
+        return out["loss_asd"]
+
+    loss, g = jax.value_and_grad(loss_fn)(rgb)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0  # grads reach the rendered pixels
+
+
+def test_rd_branch_dual(guidance):
+    B = 4
+    key = jax.random.PRNGKey(4)
+    normal = jax.random.uniform(key, (B, 24, 24, 3))
+    disp = jax.random.uniform(jax.random.fold_in(key, 1), (B, 24, 24, 1))
+    text_c = jax.random.normal(jax.random.fold_in(key, 2), (1, 7, 16))
+    out = guidance.rd_branch(
+        jax.random.fold_in(key, 3), normal, disp, text_c, jnp.zeros_like(text_c),
+        _cams(B), jnp.full((B,), 0.9),
+        jnp.asarray(20), jnp.asarray(980), jnp.asarray(5.0),
+        normal_2nd=normal, disparity_2nd=disp,
+    )
+    assert out["loss_asd"].shape == (2,)  # per-renderer split
+    assert np.isfinite(np.asarray(out["loss_asd"])).all()
+
+
+def test_sd_branch_view_selection(guidance):
+    B = 4
+    rgb = jax.random.uniform(jax.random.PRNGKey(5), (B, 24, 24, 3))
+    text_c = jax.random.normal(jax.random.PRNGKey(6), (1, 7, 16))
+    out = guidance.sd_branch(
+        jax.random.PRNGKey(7), rgb, text_c, jnp.zeros_like(text_c),
+        jnp.asarray(20), jnp.asarray(980), jnp.asarray(7.5),
+    )
+    assert np.isfinite(float(out["loss_asd"]))
+    # dual mode picks the opposite view for renderer 2
+    out2 = guidance.sd_branch(
+        jax.random.PRNGKey(7), rgb, text_c, jnp.zeros_like(text_c),
+        jnp.asarray(20), jnp.asarray(980), jnp.asarray(7.5), rgb_2nd=rgb,
+    )
+    assert out2["loss_asd"].shape == (2,)
+
+
+def test_teacher_math_is_stop_gradiented(guidance):
+    """Gradient must flow ONLY through the reparameterized latent term: the
+    teacher UNet params receive no gradient."""
+    B = 4
+    rgb = jax.random.uniform(jax.random.PRNGKey(8), (B, 16, 16, 3))
+    text_c = jax.random.normal(jax.random.PRNGKey(9), (1, 7, 16))
+    c2w = _cams(B)
+
+    def loss_wrt_teacher(params):
+        g2 = ASDGuidance(guidance.cfg, mv=guidance.mv._replace(unet_params=params),
+                         rd=guidance.rd, sd=guidance.sd)
+        return g2.mv_branch(
+            jax.random.PRNGKey(10), rgb, text_c, jnp.zeros_like(text_c), c2w,
+            jnp.asarray(20), jnp.asarray(980), jnp.asarray(10.0),
+        )["loss_asd"]
+
+    g = jax.grad(loss_wrt_teacher)(guidance.mv.unet_params)
+    total = sum(float(jnp.abs(v).sum()) for v in jax.tree_util.tree_leaves(g))
+    assert total == 0.0

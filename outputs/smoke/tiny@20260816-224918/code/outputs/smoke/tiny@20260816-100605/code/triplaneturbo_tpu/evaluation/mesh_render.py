@@ -1,0 +1,73 @@
+"""Eval-view mesh rendering: the in-framework kire replacement.
+
+The reference renders exported OBJs with the kiuikit `kire` OpenGL/CUDA
+viewer over a GPU subprocess pool (/root/reference/evaluation/
+mesh_visualize.py:38-91: 4 azimuths, elevation -15°, 512², front +y).
+TPU-native: render with our own rasterizer — same camera rig, no subprocesses
+(SURVEY §2.6 #10).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.rasterize import antialias, interpolate, rasterize
+from ..utils.camera import (
+    camera_to_world,
+    get_mvp_matrix,
+    get_projection_matrix,
+)
+from ..utils.mesh import Mesh
+
+
+def kire_camera_rig(n_views: int = 4, elevation_deg: float = -15.0, radius: float = 2.6, fovy_deg: float = 49.1):
+    """The mesh_visualize camera rig (elevation -15, azimuths covering 360°,
+    front +y). kire's default radius/fovy are close to these; exact values
+    only shift framing, not ranking."""
+    azim = np.deg2rad(np.linspace(0, 360, n_views, endpoint=False) + 90.0)  # front +y
+    elev = np.deg2rad(np.full(n_views, elevation_deg))
+    dist = np.full(n_views, radius)
+    c2w = camera_to_world(jnp.asarray(elev), jnp.asarray(azim), jnp.asarray(dist))
+    fovy = jnp.full((n_views,), np.deg2rad(fovy_deg))
+    proj = get_projection_matrix(fovy, 1.0, 0.1, 100.0)
+    return get_mvp_matrix(c2w, proj)
+
+
+def render_mesh_views(
+    mesh: Mesh,
+    n_views: int = 4,
+    height: int = 512,
+    width: int = 512,
+    elevation_deg: float = -15.0,
+    bg_color=(1.0, 1.0, 1.0),
+    lambertian: bool = True,
+    faces_per_tile: int = 4096,
+) -> jnp.ndarray:
+    """Render vertex-colored mesh turntable views, [V, H, W, 3] in [0,1].
+
+    Simple headlight-Lambertian shading like kire's default view mode.
+    """
+    mvp = kire_camera_rig(n_views, elevation_deg)
+    v_rgb = mesh.v_rgb if mesh.v_rgb is not None else jnp.ones_like(mesh.v_pos) * 0.7
+    v_nrm = mesh.vertex_normals()
+    bg = jnp.ones((height, width, 3)) * jnp.asarray(bg_color)
+
+    frames = []
+    vh = jnp.concatenate([mesh.v_pos, jnp.ones_like(mesh.v_pos[:, :1])], axis=-1)
+    for v in range(n_views):
+        clip = vh @ mvp[v].T
+        rast = rasterize(clip, mesh.t_pos_idx, mesh.t_mask, height, width, faces_per_tile=faces_per_tile)
+        rgb = interpolate(v_rgb, rast, mesh.t_pos_idx)
+        if lambertian:
+            nrm = interpolate(v_nrm, rast, mesh.t_pos_idx)
+            # headlight along the camera ray: shade by |n·view|
+            cam_dir = -mvp[v][2, :3] / jnp.linalg.norm(mvp[v][2, :3])
+            lam = jnp.abs((nrm * cam_dir).sum(-1, keepdims=True))
+            rgb = rgb * (0.3 + 0.7 * lam)
+        img = jnp.where(rast.mask[..., None], rgb, bg)
+        frames.append(antialias(img, rast, bg))
+    return jnp.clip(jnp.stack(frames), 0.0, 1.0)

@@ -1,0 +1,200 @@
+"""NeuS SDF volume renderer over generative triplane spaces (dense/TPU).
+
+Rebuild of ``generative-space-sdf-volume-renderer``
+(/root/reference/custom/triplaneturbo/models/renderers/
+generative_space_sdf_volume_renderer.py:38-565): proposal-based importance
+sampling (uniform CDF -> NeuS density -> resample), NeuS sigmoid-CDF alpha
+with a learned inverse-std, weight/accumulate composition, z-variance,
+RichDreamer-style disparity and camera-space normal visualizations.
+
+TPU-first: a fixed number of samples per ray makes every nerfacc CUDA call a
+dense cumprod/cumsum (:mod:`triplaneturbo_tpu.ops.ray`); the whole render is
+one jittable function of (rays, space_cache, params).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+import triplaneturbo_tpu as ttt
+
+from ...ops.ray import (
+    accumulate_along_rays,
+    importance_sampling,
+    neus_alpha,
+    neus_density_from_sdf,
+    render_weight_from_alpha,
+)
+
+
+@dataclass
+class VolumeRendererConfig:
+    radius: float = 1.0
+    num_samples_per_ray: int = 128
+    num_samples_per_ray_importance: int = 64
+    near_plane: float = 0.1
+    far_plane: float = 4.0
+    learned_variance_init: float = 0.4605170185988091  # log(100)/10
+    trainable_variance: bool = True
+    cos_anneal_ratio: float = 1.0
+    use_volsdf: bool = False
+    rgb_grad_shrink: float = 1.0
+    normal_direction: str = "camera"  # "camera" | "world" | "front"
+    randomized: bool = True
+
+
+@ttt.register("generative-space-sdf-volume-renderer")
+class GenerativeSpaceSDFVolumeRenderer(nn.Module):
+    cfg: VolumeRendererConfig = field(default_factory=VolumeRendererConfig)
+
+    @property
+    def render_step_size(self) -> float:
+        # 1.732 * 2 * radius / num_samples (neus_volume_renderer.py:85-87)
+        return 1.732 * 2 * self.cfg.radius / self.cfg.num_samples_per_ray
+
+    @nn.compact
+    def __call__(
+        self,
+        rays_o: jax.Array,  # [B, H, W, 3]
+        rays_d: jax.Array,  # [B, H, W, 3]
+        field_fn: Callable[..., Dict[str, jax.Array]],
+        background_fn: Callable[..., jax.Array],
+        camera_distances: Optional[jax.Array] = None,  # [B]
+        c2w: Optional[jax.Array] = None,  # [B, 4, 4]
+        text_embed: Optional[jax.Array] = None,
+        bg_color: Optional[jax.Array] = None,
+        key: Optional[jax.Array] = None,
+        train: bool = True,
+        rgb_grad_shrink: Optional[float] = None,
+    ) -> Dict[str, jax.Array]:
+        """Render one batch of views.
+
+        field_fn(points [B, M, 3], with_normal: bool) must return a dict with
+        "sdf" [B, M, 1], "features" [B, M, C], "normal" [B, M, 3] — the
+        geometry closure carries the (per-view-repeated) space cache.
+        """
+        cfg = self.cfg
+        B, H, W, _ = rays_o.shape
+        n_rays = B * H * W
+        ro = rays_o.reshape(n_rays, 3)
+        rd = rays_d.reshape(n_rays, 3)
+
+        inv_std_param = self.param(
+            "variance_inv_std",
+            nn.initializers.constant(cfg.learned_variance_init),
+            (),
+        )
+        if not cfg.trainable_variance:
+            inv_std_param = jax.lax.stop_gradient(inv_std_param)
+        inv_std = jnp.clip(jnp.exp(inv_std_param * 10.0), 1e-6, 1e6)
+
+        step = self.render_step_size
+
+        def prop_sigma_fn(t_starts, t_ends):
+            mid = (t_starts + t_ends) * 0.5
+            pts = ro[:, None, :] + rd[:, None, :] * mid[..., None]
+            out = field_fn(pts.reshape(B, -1, 3), False)
+            sdf = out["sdf"].reshape(n_rays, -1)
+            return neus_density_from_sdf(sdf, inv_std, step)
+
+        sample_key = key if (train and cfg.randomized) else None
+        t_starts, t_ends = importance_sampling(
+            prop_sigma_fn,
+            n_rays,
+            cfg.num_samples_per_ray_importance,
+            cfg.num_samples_per_ray,
+            cfg.near_plane,
+            cfg.far_plane
+            if camera_distances is None
+            else cfg.far_plane,
+            key=sample_key,
+        )
+        S = t_starts.shape[-1]
+        t_mid = (t_starts + t_ends) * 0.5  # [Nr, S]
+        t_intervals = (t_ends - t_starts)[..., None]
+        positions = ro[:, None, :] + rd[:, None, :] * t_mid[..., None]
+
+        geo = field_fn(positions.reshape(B, -1, 3), True)
+        sdf = geo["sdf"].reshape(n_rays, S, 1)
+        normal = geo["normal"].reshape(n_rays, S, 3)
+        features = geo["features"].reshape(n_rays, S, -1)
+
+        rgb_fg = features  # no-material: activation applied by the field/material
+        shrink = cfg.rgb_grad_shrink if rgb_grad_shrink is None else rgb_grad_shrink
+        # identity when shrink == 1; traced-scalar safe
+        rgb_fg = shrink * rgb_fg + (1.0 - shrink) * jax.lax.stop_gradient(rgb_fg)
+
+        dirs = jnp.broadcast_to(rd[:, None, :], normal.shape)
+        alpha = neus_alpha(sdf, normal, dirs, t_intervals, inv_std, cfg.cos_anneal_ratio)
+
+        weights = render_weight_from_alpha(alpha[..., 0])  # [Nr, S]
+        opacity = accumulate_along_rays(weights)  # [Nr, 1]
+        depth = accumulate_along_rays(weights, t_mid[..., None])
+        comp_rgb_fg = accumulate_along_rays(weights, rgb_fg)
+        z_variance = accumulate_along_rays(weights, (t_mid[..., None] - depth[:, None, :]) ** 2)
+
+        comp_rgb_bg = background_fn(rays_d, text_embed)
+        comp_rgb_bg_flat = comp_rgb_bg.reshape(n_rays, -1)
+        if bg_color is None:
+            bg = comp_rgb_bg_flat
+        else:
+            bg = bg_color.reshape(n_rays, -1) if bg_color.ndim >= 3 else bg_color
+        comp_rgb = comp_rgb_fg + bg * (1.0 - opacity)
+
+        out = {
+            "comp_rgb": comp_rgb.reshape(B, H, W, -1),
+            "comp_rgb_fg": comp_rgb_fg.reshape(B, H, W, -1),
+            "comp_rgb_bg": comp_rgb_bg.reshape(B, H, W, -1),
+            "opacity": opacity.reshape(B, H, W, 1),
+            "depth": depth.reshape(B, H, W, 1),
+            "z_variance": z_variance.reshape(B, H, W, 1),
+            "inv_std": inv_std,
+        }
+
+        # RichDreamer-style disparity (:451-462)
+        if camera_distances is not None:
+            far = camera_distances.reshape(-1, 1, 1, 1) + jnp.sqrt(3.0)
+            near = camera_distances.reshape(-1, 1, 1, 1) - jnp.sqrt(3.0)
+            d_img = out["depth"]
+            o_img = out["opacity"]
+            disparity_tmp = d_img * o_img + (1.0 - o_img) * far
+            out["disparity"] = jnp.clip((far - disparity_tmp) / (far - near), 0.0, 1.0)
+
+        # regularizer raw terms (consumed by the training system's loss
+        # registry; reference computes them from ragged sample buffers,
+        # systems/...py:620-738)
+        if "sdf_grad" in geo:
+            sg = geo["sdf_grad"].reshape(n_rays, S, 3)
+            out["eikonal"] = ((jnp.linalg.norm(sg, axis=-1) - 1.0) ** 2).mean()
+        w_sg = jax.lax.stop_gradient(weights)
+        cos = (normal * dirs).sum(-1)
+        out["orient"] = (w_sg * jnp.clip(cos, 0.0) ** 2).sum() / jnp.maximum(
+            (opacity > 0).sum(), 1
+        )
+
+        comp_normal = accumulate_along_rays(weights, normal)
+        comp_normal = comp_normal / jnp.maximum(
+            jnp.linalg.norm(comp_normal, axis=-1, keepdims=True), 1e-8
+        )
+        out["comp_normal"] = comp_normal.reshape(B, H, W, 3)
+
+        if cfg.normal_direction == "camera" and c2w is not None:
+            # camera-space normal visualization (:481-506)
+            w2c = jnp.linalg.inv(c2w)[:, :3, :3]
+            n_cam = jnp.einsum("bnc,bkc->bnk", comp_normal.reshape(B, -1, 3), w2c)
+            n_cam = n_cam * jnp.asarray([-1.0, 1.0, 1.0])
+            n_cam = n_cam.reshape(n_rays, 3)
+            bg_normal = jnp.ones_like(n_cam) * 0.5
+            bg_normal = bg_normal.at[:, 2].set(1.0)
+            bg_normal_white = jnp.ones_like(n_cam)
+            vis = (n_cam + 1.0) / 2.0 * opacity + (1.0 - opacity) * bg_normal
+            vis_white = (n_cam + 1.0) / 2.0 * opacity + (1.0 - opacity) * bg_normal_white
+            out["comp_normal_cam_vis"] = vis.reshape(B, H, W, 3)
+            out["comp_normal_cam_vis_white"] = vis_white.reshape(B, H, W, 3)
+
+        return out

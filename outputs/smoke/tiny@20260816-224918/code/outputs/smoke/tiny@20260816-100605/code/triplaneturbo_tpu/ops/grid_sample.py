@@ -1,0 +1,121 @@
+"""Bilinear grid sampling as pure gather+lerp XLA.
+
+TPU-native replacement for both the reference's ``F.grid_sample`` call
+(/root/reference/triplaneturbo_executable/utils/general_utils.py:62-65) and its
+custom CUDA double-backward extension
+(/root/reference/custom/triplaneturbo/extern/grid_sample_gradfix/, 667 LoC of
+CUDA): the reference needed hand-written second derivatives because analytic
+SDF normals (themselves ``autograd.grad`` outputs) are back-propagated through
+rendering losses. Here the op is ordinary differentiable JAX, so ``jax.grad``
+composes to any order for free (SURVEY.md §2.6 #1).
+
+Semantics match ``torch.nn.functional.grid_sample(mode='bilinear',
+padding_mode='zeros', align_corners=False)``:
+  * grid values in [-1, 1]; ``grid[..., 0]`` indexes width, ``[..., 1]`` height;
+  * align_corners=False: pixel centers at ``(-1 + (2*i+1)/size)``;
+  * zeros padding: out-of-bounds corner taps contribute zero.
+
+Layout is NHWC (TPU-friendly: channel dim last so the gather feeds matmuls
+without transposes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_sample_2d(features: jax.Array, grid: jax.Array) -> jax.Array:
+    """Bilinear sample ``features`` at normalized ``grid`` locations.
+
+    Args:
+      features: ``[N, H, W, C]`` feature maps.
+      grid: ``[N, M, 2]`` sample locations in [-1, 1], (x, y) order.
+
+    Returns:
+      ``[N, M, C]`` sampled features (zeros outside the map).
+    """
+    N, H, W, C = features.shape
+    x, y = grid[..., 0], grid[..., 1]
+
+    # unnormalize (align_corners=False)
+    ix = ((x + 1.0) * W - 1.0) * 0.5
+    iy = ((y + 1.0) * H - 1.0) * 0.5
+
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    ix1 = ix0 + 1.0
+    iy1 = iy0 + 1.0
+
+    # lerp weights
+    wx1 = ix - ix0
+    wx0 = 1.0 - wx1
+    wy1 = iy - iy0
+    wy0 = 1.0 - wy1
+
+    def gather(iy_, ix_):
+        # validity before clipping (zeros padding)
+        valid = (
+            (ix_ >= 0) & (ix_ <= W - 1) & (iy_ >= 0) & (iy_ <= H - 1)
+        )
+        xi = jnp.clip(ix_, 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(iy_, 0, H - 1).astype(jnp.int32)
+        flat = features.reshape(N, H * W, C)
+        idx = yi * W + xi  # [N, M]
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return vals * valid[..., None].astype(features.dtype)
+
+    v00 = gather(iy0, ix0)
+    v01 = gather(iy0, ix1)
+    v10 = gather(iy1, ix0)
+    v11 = gather(iy1, ix1)
+
+    w00 = (wy0 * wx0)[..., None]
+    w01 = (wy0 * wx1)[..., None]
+    w10 = (wy1 * wx0)[..., None]
+    w11 = (wy1 * wx1)[..., None]
+
+    return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+
+
+def grid_sample_3d(features: jax.Array, grid: jax.Array) -> jax.Array:
+    """Trilinear sample of a voxel grid, same conventions as 2D.
+
+    Args:
+      features: ``[N, D, H, W, C]``.
+      grid: ``[N, M, 3]`` in [-1, 1], (x, y, z) with x->W, y->H, z->D.
+
+    Returns:
+      ``[N, M, C]``.
+    """
+    N, D, H, W, C = features.shape
+    x, y, z = grid[..., 0], grid[..., 1], grid[..., 2]
+
+    ix = ((x + 1.0) * W - 1.0) * 0.5
+    iy = ((y + 1.0) * H - 1.0) * 0.5
+    iz = ((z + 1.0) * D - 1.0) * 0.5
+
+    ix0, iy0, iz0 = jnp.floor(ix), jnp.floor(iy), jnp.floor(iz)
+    fx, fy, fz = ix - ix0, iy - iy0, iz - iz0
+
+    flat = features.reshape(N, D * H * W, C)
+
+    def gather(zi_, yi_, xi_):
+        valid = (
+            (xi_ >= 0) & (xi_ <= W - 1)
+            & (yi_ >= 0) & (yi_ <= H - 1)
+            & (zi_ >= 0) & (zi_ <= D - 1)
+        )
+        xi = jnp.clip(xi_, 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(yi_, 0, H - 1).astype(jnp.int32)
+        zi = jnp.clip(zi_, 0, D - 1).astype(jnp.int32)
+        idx = (zi * H + yi) * W + xi
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return vals * valid[..., None].astype(features.dtype)
+
+    out = 0.0
+    for dz, wz in ((iz0, 1.0 - fz), (iz0 + 1.0, fz)):
+        for dy, wy in ((iy0, 1.0 - fy), (iy0 + 1.0, fy)):
+            for dx, wx in ((ix0, 1.0 - fx), (ix0 + 1.0, fx)):
+                out = out + gather(dz, dy, dx) * (wz * wy * wx)[..., None]
+    return out

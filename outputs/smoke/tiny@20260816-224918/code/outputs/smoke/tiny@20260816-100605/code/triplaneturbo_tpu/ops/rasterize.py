@@ -1,0 +1,228 @@
+"""Tile-binned triangle rasterizer in pure XLA (nvdiffrast replacement).
+
+SURVEY §2.6 #2: the reference rasterizes meshes with nvdiffrast CUDA
+(threestudio/utils/rasterize.py:30-56). TPU-native design:
+
+1. **bin**: each (valid) face's screen bbox is mapped to the image tile grid;
+   (tile, face) pairs are ranked by a lexicographic sort and scattered into a
+   fixed-capacity per-tile face list — all static shapes;
+2. **raster**: ``lax.map`` over tiles; per tile, edge functions of its face
+   list are evaluated at the tile's pixels, a masked z-argmin picks the
+   nearest face; barycentrics are recomputed differentiably from the chosen
+   face's vertices (gradients flow to vertex positions through barycentric
+   weights and depth, like nvdiffrast's interpolate backward);
+3. **interpolate**: perspective-correct attribute interpolation;
+4. **antialias**: the reference's gradient path through silhouette edges is
+   heavily damped (sdf_grad_shrink=0.001,
+   generative_space_mesh_rasterize_renderer.py:449-465), so a screen-space
+   2-tap edge blend stands in for nvdiffrast's analytic antialias
+   (documented approximation).
+
+Conventions: clip-space verts from an OpenGL-style MVP whose y row is negated
+(threestudio/utils/ops.py:346-365), so NDC y maps directly to image rows.
+Pixel centers at +0.5. No backface culling (nvdiffrast default).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RasterOut(NamedTuple):
+    face_id: jax.Array  # [H, W] int32, -1 for background
+    bary: jax.Array  # [H, W, 3] perspective-correct barycentrics
+    depth: jax.Array  # [H, W] NDC depth of the hit (1e10 for background)
+    mask: jax.Array  # [H, W] bool coverage
+
+
+def _bin_faces(
+    xy: jax.Array,  # [F, 3, 2] screen coords
+    valid: jax.Array,  # [F]
+    H: int,
+    W: int,
+    tile: int,
+    cap: int,
+) -> jax.Array:
+    """Fixed-capacity per-tile face lists, [n_tiles, cap] int32 (-1 = empty)."""
+    th, tw = H // tile, W // tile
+    n_tiles = th * tw
+    F = xy.shape[0]
+
+    lo = jnp.floor(xy.min(axis=1) / tile).astype(jnp.int32)  # [F, 2]
+    hi = jnp.floor(xy.max(axis=1) / tile).astype(jnp.int32)
+    lo = jnp.clip(lo, 0, jnp.asarray([tw - 1, th - 1]))
+    hi = jnp.clip(hi, 0, jnp.asarray([tw - 1, th - 1]))
+
+    # static cap on tiles a face can span; MC triangles are ~1 cell so spans
+    # are tiny — large spans only happen for degenerate/far-out faces
+    MAX_SPAN = 4  # per axis -> 16 tile slots per face
+    dxs = jnp.arange(MAX_SPAN)
+    dys = jnp.arange(MAX_SPAN)
+    tx = lo[:, 0:1] + dxs[None, :]  # [F, S]
+    ty = lo[:, 1:2] + dys[None, :]
+    in_x = tx <= hi[:, 0:1]
+    in_y = ty <= hi[:, 1:2]
+    tid = (
+        ty[:, None, :] * tw + tx[:, :, None]
+    )  # [F, S, S] (x-major slot grid, value = tile id)
+    ok = (in_x[:, :, None] & in_y[:, None, :]) & valid[:, None, None]
+    tid = jnp.where(ok, tid, n_tiles)  # overflow sentinel tile
+
+    tid_flat = tid.reshape(-1)  # [F * S * S]
+    fid_flat = jnp.repeat(jnp.arange(F), MAX_SPAN * MAX_SPAN)
+
+    # rank entries within their tile: sort by tile, rank = pos - first_pos(tile)
+    order = jnp.argsort(tid_flat, stable=True)
+    tid_sorted = tid_flat[order]
+    fid_sorted = fid_flat[order]
+    first_pos = jnp.searchsorted(tid_sorted, tid_sorted, side="left")
+    rank = jnp.arange(tid_sorted.shape[0]) - first_pos
+
+    keep = (tid_sorted < n_tiles) & (rank < cap)
+    dest = jnp.where(keep, tid_sorted * cap + rank, n_tiles * cap)
+    bins = jnp.full((n_tiles * cap + 1,), -1, jnp.int32)
+    bins = bins.at[dest].set(fid_sorted.astype(jnp.int32), mode="drop")
+    return bins[:-1].reshape(n_tiles, cap)
+
+
+def rasterize(
+    verts_clip: jax.Array,  # [V, 4] clip-space positions
+    faces: jax.Array,  # [F, 3] int32
+    face_valid: Optional[jax.Array],  # [F] bool
+    H: int,
+    W: int,
+    tile: int = 16,
+    faces_per_tile: int = 512,
+) -> RasterOut:
+    """Rasterize one view. Differentiable w.r.t. verts through bary + depth."""
+    V = verts_clip.shape[0]
+    F = faces.shape[0]
+    if face_valid is None:
+        face_valid = jnp.ones((F,), bool)
+
+    w = verts_clip[:, 3:4]
+    safe_w = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
+    ndc = verts_clip[:, :3] / safe_w  # [V, 3]
+    xs = (ndc[:, 0] * 0.5 + 0.5) * W
+    ys = (ndc[:, 1] * 0.5 + 0.5) * H
+    zs = ndc[:, 2]
+    xy = jnp.stack([xs, ys], axis=-1)  # [V, 2]
+
+    tri_xy = xy[faces]  # [F, 3, 2]
+    tri_z = zs[faces]  # [F, 3]
+    tri_w = safe_w[faces][..., 0]  # [F, 3]
+    # cull faces behind the camera (any w <= 0) — proper clipping is overkill
+    # for object-centric rendering where the mesh is well inside the frustum
+    front = (tri_w > 0).all(axis=-1)
+    valid = face_valid & front
+
+    bins = _bin_faces(jax.lax.stop_gradient(tri_xy), valid, H, W, tile, faces_per_tile)
+    th, tw = H // tile, W // tile
+
+    # pixel centers per tile
+    px = (jnp.arange(tile) + 0.5)[None, :]  # x within tile
+    py = (jnp.arange(tile) + 0.5)[:, None]
+
+    def raster_tile(tile_idx):
+        ty, tx = tile_idx // tw, tile_idx % tw
+        fids = bins[tile_idx]  # [C]
+        fvalid = fids >= 0
+        f = jnp.maximum(fids, 0)
+        a = tri_xy[f, 0]  # [C, 2]
+        b = tri_xy[f, 1]
+        c = tri_xy[f, 2]
+        za, zb, zc = tri_z[f, 0], tri_z[f, 1], tri_z[f, 2]
+
+        X = tx * tile + px + jnp.zeros_like(py)  # [tile, tile]
+        Y = ty * tile + py + jnp.zeros_like(px)
+        P = jnp.stack([X, Y], axis=-1).reshape(-1, 2)  # [p, 2]
+
+        def edge(p0, p1, q):
+            # cross((p1-p0), (q-p0)) for all pixels: [C, p]
+            d = p1 - p0  # [C, 2]
+            return d[:, None, 0] * (q[None, :, 1] - p0[:, None, 1]) - d[:, None, 1] * (
+                q[None, :, 0] - p0[:, None, 0]
+            )
+
+        e0 = edge(b, c, P)  # opposite a
+        e1 = edge(c, a, P)
+        e2 = edge(a, b, P)
+        area = e0 + e1 + e2  # = 2*signed area, [C, p] (constant over p)
+        denom = jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
+        w0 = e0 / denom
+        w1 = e1 / denom
+        w2 = e2 / denom
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & fvalid[:, None]
+        z = w0 * za[:, None] + w1 * zb[:, None] + w2 * zc[:, None]
+        z = jnp.where(inside, z, 1e10)
+
+        best = jnp.argmin(z, axis=0)  # [p]
+        pix = jnp.arange(P.shape[0])
+        hit = inside[best, pix]
+        zbest = z[best, pix]
+        fbest = jnp.where(hit, fids[best], -1)
+        bary = jnp.stack([w0[best, pix], w1[best, pix], w2[best, pix]], axis=-1)
+        # perspective correction: w_pc_i = (w_i / w_clip_i) / sum
+        wclip = tri_w[f][best]  # [p, 3]
+        bw = bary / wclip
+        bary_pc = bw / jnp.maximum(bw.sum(-1, keepdims=True), 1e-12)
+        bary_pc = jnp.where(hit[:, None], bary_pc, 0.0)
+        return (
+            fbest.reshape(tile, tile),
+            bary_pc.reshape(tile, tile, 3),
+            jnp.where(hit, zbest, 1e10).reshape(tile, tile),
+            hit.reshape(tile, tile),
+        )
+
+    fid_t, bary_t, z_t, hit_t = jax.lax.map(raster_tile, jnp.arange(th * tw))
+
+    def untile(x):
+        # [th*tw, tile, tile, ...] -> [H, W, ...]
+        x = x.reshape((th, tw) + x.shape[1:])
+        x = jnp.moveaxis(x, 2, 1).reshape((H, W) + x.shape[4:])
+        return x
+
+    return RasterOut(
+        face_id=untile(fid_t), bary=untile(bary_t), depth=untile(z_t), mask=untile(hit_t)
+    )
+
+
+def interpolate(
+    attr: jax.Array,  # [V, C] per-vertex attributes
+    out: RasterOut,
+    faces: jax.Array,  # [F, 3]
+    bg_value: float = 0.0,
+) -> jax.Array:
+    """Perspective-correct attribute interpolation, [H, W, C]."""
+    f = jnp.maximum(out.face_id, 0)
+    tri = attr[faces[f]]  # [H, W, 3, C]
+    val = jnp.einsum("hwk,hwkc->hwc", out.bary, tri)
+    return jnp.where(out.mask[..., None], val, bg_value)
+
+
+def antialias(
+    img: jax.Array,  # [H, W, C]
+    out: RasterOut,
+    background: jax.Array,  # [H, W, C]
+) -> jax.Array:
+    """Silhouette-edge blend: soften mask boundaries with a 4-neighbor blur.
+
+    Approximates nvdiffrast's antialias output (exact analytic edge gradients
+    are unnecessary here — the reference damps rasterizer gradients into the
+    SDF by 1000x, generative_space_mesh_rasterize_renderer.py:454-465).
+    """
+    m = out.mask.astype(img.dtype)
+    mp = jnp.pad(m, 1, mode="edge")
+    blur = (
+        m
+        + mp[:-2, 1:-1]
+        + mp[2:, 1:-1]
+        + mp[1:-1, :-2]
+        + mp[1:-1, 2:]
+    ) / 5.0
+    edge = (blur > 0.0) & (blur < 1.0)
+    alpha = jnp.where(edge, blur, m)[..., None]
+    return img * alpha + background * (1.0 - alpha)

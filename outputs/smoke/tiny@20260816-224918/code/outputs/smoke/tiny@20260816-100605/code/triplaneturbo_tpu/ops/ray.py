@@ -1,0 +1,164 @@
+"""Dense ray-marching primitives: the nerfacc replacement (SURVEY §2.6 #3).
+
+The reference leans on nerfacc CUDA kernels with ragged per-ray samples
+(``render_weight_from_alpha``, ``accumulate_along_rays``,
+``importance_sampling``, ``render_transmittance_from_density`` —
+/root/reference/custom/triplaneturbo/models/renderers/
+generative_space_sdf_volume_renderer.py:408-431, threestudio/models/
+estimators.py:16-101). TPU-first design: a FIXED number of samples per ray,
+so everything is a dense ``[n_rays, n_samples]`` tensor and the ragged
+scatter/gather kernels become cumprod/cumsum + weighted sums that XLA fuses.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def render_weight_from_alpha(alpha: jax.Array) -> jax.Array:
+    """alpha [Nr, Ns] -> volume-rendering weights w_i = a_i * prod_{j<i}(1-a_j)."""
+    t = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(t[..., :1]), t[..., :-1]], axis=-1)
+    return alpha * trans
+
+
+def accumulate_along_rays(weights: jax.Array, values: Optional[jax.Array] = None) -> jax.Array:
+    """weights [Nr, Ns] (+ values [Nr, Ns, C]) -> [Nr, C] (or [Nr, 1] opacity)."""
+    if values is None:
+        return weights.sum(-1, keepdims=True)
+    return jnp.einsum("rs,rsc->rc", weights, values)
+
+
+def render_transmittance_from_density(
+    t_starts: jax.Array, t_ends: jax.Array, sigmas: jax.Array
+) -> jax.Array:
+    """T_i = exp(-sum_{j<i} sigma_j * dt_j), dense [Nr, Ns]."""
+    delta = (t_ends - t_starts) * sigmas
+    acc = jnp.cumsum(delta, axis=-1)
+    acc = jnp.concatenate([jnp.zeros_like(acc[..., :1]), acc[..., :-1]], axis=-1)
+    return jnp.exp(-acc)
+
+
+def sample_pdf(
+    bins: jax.Array,
+    cdfs: jax.Array,
+    n_samples: int,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Inverse-CDF sampling of ``n_samples + 1`` interval boundaries.
+
+    Equivalent of nerfacc ``importance_sampling`` over piecewise-linear CDFs.
+
+    Args:
+      bins: [Nr, K+1] interval boundaries (monotone).
+      cdfs: [Nr, K+1] CDF values at the boundaries (cdfs[...,0]=0, [-1]=1).
+      key: stratified jitter when given, else midpoints (deterministic).
+    Returns:
+      [Nr, n_samples + 1] new boundaries.
+    """
+    Nr = bins.shape[0]
+    n = n_samples + 1
+    if key is not None:
+        u = (jnp.arange(n) + jax.random.uniform(key, (Nr, n))) / n
+    else:
+        u = jnp.broadcast_to((jnp.arange(n) + 0.5) / n, (Nr, n))
+    u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
+
+    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdfs, u)
+    idx0 = jnp.clip(idx - 1, 0, cdfs.shape[-1] - 1)
+    idx1 = jnp.clip(idx, 0, cdfs.shape[-1] - 1)
+
+    c0 = jnp.take_along_axis(cdfs, idx0, axis=-1)
+    c1 = jnp.take_along_axis(cdfs, idx1, axis=-1)
+    b0 = jnp.take_along_axis(bins, idx0, axis=-1)
+    b1 = jnp.take_along_axis(bins, idx1, axis=-1)
+
+    denom = jnp.where(jnp.abs(c1 - c0) < 1e-12, 1.0, c1 - c0)
+    t = jnp.clip((u - c0) / denom, 0.0, 1.0)
+    return b0 + t * (b1 - b0)
+
+
+def importance_sampling(
+    prop_sigma_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    n_rays: int,
+    num_prop_samples: int,
+    num_fine_samples: int,
+    near: float,
+    far: float,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Proposal-based sampling (ImportanceEstimator.sampling semantics,
+    threestudio/models/estimators.py:16-101):
+
+    uniform CDF -> draw prop intervals -> eval proposal density -> build CDF
+    from transmittance -> draw fine intervals -> merge-sort prop+fine t-vals.
+
+    Returns (t_starts, t_ends): [n_rays, num_prop + num_fine + 1] each.
+    """
+    k1 = k2 = None
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+
+    # level 0: uniform in s-space
+    s_bins = jnp.broadcast_to(jnp.asarray([0.0, 1.0]), (n_rays, 2))
+    cdf0 = jnp.broadcast_to(jnp.asarray([0.0, 1.0]), (n_rays, 2))
+    s_vals = sample_pdf(s_bins, cdf0, num_prop_samples, k1)  # [Nr, P+1]
+    t_vals = near + s_vals * (far - near)
+
+    t_starts, t_ends = t_vals[..., :-1], t_vals[..., 1:]
+    sigmas = jax.lax.stop_gradient(prop_sigma_fn(t_starts, t_ends))
+    trans = render_transmittance_from_density(t_starts, t_ends, sigmas)
+    # CDF over the prop boundaries: 1 - T, with trailing 1 (estimators.py:88)
+    cdf = 1.0 - jnp.concatenate([trans, jnp.zeros_like(trans[..., :1])], axis=-1)
+    # normalize for numerical sanity (nerfacc keeps raw; monotone either way)
+    s_fine = sample_pdf(s_vals, cdf, num_fine_samples, k2)
+    t_fine = near + s_fine * (far - near)
+
+    t_all = jnp.sort(jnp.concatenate([t_vals, t_fine], axis=-1), axis=-1)
+    return t_all[..., :-1], t_all[..., 1:]
+
+
+def neus_alpha(
+    sdf: jax.Array,
+    normal: jax.Array,
+    dirs: jax.Array,
+    dists: jax.Array,
+    inv_std: jax.Array,
+    cos_anneal_ratio: float = 1.0,
+) -> jax.Array:
+    """NeuS sigmoid-CDF alpha (neus_volume_renderer.py:94-117).
+
+    sdf [..., 1], normal/dirs [..., 3], dists [..., 1]; returns alpha [..., 1].
+    """
+    true_cos = (dirs * normal).sum(-1, keepdims=True)
+    iter_cos = -(
+        jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
+        + jax.nn.relu(-true_cos) * cos_anneal_ratio
+    )
+    est_next = sdf + iter_cos * dists * 0.5
+    est_prev = sdf - iter_cos * dists * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_std)
+    next_cdf = jax.nn.sigmoid(est_next * inv_std)
+    p = prev_cdf - next_cdf
+    c = prev_cdf
+    return jnp.clip((p + 1e-5) / (c + 1e-5), 0.0, 1.0)
+
+
+def volsdf_density(sdf: jax.Array, inv_std: jax.Array) -> jax.Array:
+    inv_std = jnp.clip(inv_std, 0.0, 80.0)
+    beta = 1.0 / inv_std
+    return inv_std * (0.5 + 0.5 * jnp.sign(sdf) * jnp.expm1(-jnp.abs(sdf) / beta))
+
+
+def neus_density_from_sdf(sdf: jax.Array, inv_std: jax.Array, step_size: float) -> jax.Array:
+    """Proposal density used by the prop_sigma_fn
+    (generative_space_sdf_volume_renderer.py:286-298)."""
+    est_next = sdf - step_size * 0.5
+    est_prev = sdf + step_size * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_std)
+    next_cdf = jax.nn.sigmoid(est_next * inv_std)
+    alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+    return alpha / step_size

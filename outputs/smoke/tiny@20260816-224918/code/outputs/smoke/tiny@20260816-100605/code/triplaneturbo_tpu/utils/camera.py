@@ -1,0 +1,121 @@
+"""Camera math: ray generation, projection/MVP matrices, spherical rigs.
+
+Rebuild of the reference camera utilities
+(/root/reference/threestudio/utils/ops.py:194-392) in JAX/numpy. OpenGL
+camera convention (x right, y up, -z forward); world convention follows the
+reference data module (+z up, cameras parameterized by elevation/azimuth,
+custom/triplaneturbo/data/multiview_multiprompt_dualrender_multistep_v2.py:224-340).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def get_ray_directions(
+    H: int, W: int, fovy: jax.Array, use_pixel_centers: bool = True
+) -> jax.Array:
+    """Per-pixel camera-frame ray directions for a batch of fovy values.
+
+    fovy: [B] in radians. Returns [B, H, W, 3] (unnormalized, -z forward).
+    """
+    center = 0.5 if use_pixel_centers else 0.0
+    i, j = jnp.meshgrid(
+        jnp.arange(W, dtype=jnp.float32) + center,
+        jnp.arange(H, dtype=jnp.float32) + center,
+        indexing="xy",
+    )
+    focal = 0.5 * H / jnp.tan(0.5 * fovy)  # [B]
+    cx, cy = W / 2.0, H / 2.0
+    dirs = jnp.stack(
+        [
+            (i[None] - cx) / focal[:, None, None],
+            -(j[None] - cy) / focal[:, None, None],
+            -jnp.ones((1, H, W)) * jnp.ones_like(focal)[:, None, None],
+        ],
+        axis=-1,
+    )
+    return dirs
+
+
+def get_rays(
+    directions: jax.Array,  # [B, H, W, 3] camera frame
+    c2w: jax.Array,  # [B, 4, 4]
+    keepdim: bool = True,
+    normalize: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    rays_d = jnp.einsum("bhwc,bkc->bhwk", directions, c2w[:, :3, :3])
+    rays_o = jnp.broadcast_to(c2w[:, None, None, :3, 3], rays_d.shape)
+    if normalize:
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    if not keepdim:
+        rays_o = rays_o.reshape(-1, 3)
+        rays_d = rays_d.reshape(-1, 3)
+    return rays_o, rays_d
+
+
+def camera_to_world(
+    elevation: jax.Array,  # [B] radians
+    azimuth: jax.Array,  # [B] radians
+    distance: jax.Array,  # [B]
+    center: Optional[jax.Array] = None,  # [B, 3]
+    up_world: Tuple[float, float, float] = (0.0, 0.0, 1.0),
+) -> jax.Array:
+    """Spherical camera -> c2w [B, 4, 4] (lookat center, +z world up;
+    data module v2 :273-316)."""
+    B = elevation.shape[0]
+    pos = jnp.stack(
+        [
+            distance * jnp.cos(elevation) * jnp.cos(azimuth),
+            distance * jnp.cos(elevation) * jnp.sin(azimuth),
+            distance * jnp.sin(elevation),
+        ],
+        axis=-1,
+    )
+    if center is None:
+        center = jnp.zeros((B, 3))
+    up = jnp.broadcast_to(jnp.asarray(up_world), (B, 3))
+    lookat = center - pos
+    lookat = lookat / jnp.linalg.norm(lookat, axis=-1, keepdims=True)
+    right = jnp.cross(lookat, up)
+    right = right / jnp.linalg.norm(right, axis=-1, keepdims=True)
+    up2 = jnp.cross(right, lookat)
+    # OpenGL c2w: columns = [right, up, -forward, position]
+    rot = jnp.stack([right, up2, -lookat], axis=-1)  # [B, 3, 3]
+    c2w = jnp.concatenate([rot, pos[..., None]], axis=-1)  # [B, 3, 4]
+    bottom = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (B, 1, 4))
+    return jnp.concatenate([c2w, bottom], axis=1)
+
+
+def get_projection_matrix(fovy: jax.Array, aspect: float, near: float, far: float) -> jax.Array:
+    """OpenGL perspective projection [B, 4, 4] (threestudio/utils/ops.py:346-365:
+    row-1 negated so rasterized images are y-down)."""
+    B = fovy.shape[0]
+    f = 1.0 / jnp.tan(fovy / 2.0)
+    proj = jnp.zeros((B, 4, 4))
+    proj = proj.at[:, 0, 0].set(f / aspect)
+    proj = proj.at[:, 1, 1].set(-f)
+    proj = proj.at[:, 2, 2].set(-(far + near) / (far - near))
+    proj = proj.at[:, 2, 3].set(-2.0 * far * near / (far - near))
+    proj = proj.at[:, 3, 2].set(-1.0)
+    return proj
+
+
+def get_mvp_matrix(c2w: jax.Array, proj: jax.Array) -> jax.Array:
+    """[B, 4, 4] model-view-projection = proj @ inverse(c2w)."""
+    w2c = jnp.linalg.inv(c2w)
+    return jnp.einsum("bij,bjk->bik", proj, w2c)
+
+
+def mvdream_normalize_camera(c2w: jax.Array) -> jax.Array:
+    """Translate cameras onto the unit sphere and flatten to 16-d conditioning
+    (extern/mvdream/camera_utils.py:5-27)."""
+    pos = c2w[:, :3, 3]
+    norm = jnp.linalg.norm(pos, axis=-1, keepdims=True)
+    new_pos = pos / jnp.maximum(norm, 1e-8)
+    out = c2w.at[:, :3, 3].set(new_pos)
+    return out.reshape(out.shape[0], 16)

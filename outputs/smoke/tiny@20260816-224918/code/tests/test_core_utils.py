@@ -1,0 +1,202 @@
+import math
+
+import pytest
+
+import triplaneturbo_tpu as ttt
+from triplaneturbo_tpu.utils import C, C_max, DotDict, load_config, parse_structured
+from triplaneturbo_tpu.utils.config import apply_dotlist, resolve_interpolations
+
+
+def test_registry_register_find():
+    @ttt.register("unit-test-dummy")
+    class Dummy:
+        pass
+
+    assert ttt.find("unit-test-dummy") is Dummy
+
+
+def test_registry_mixin_syntax():
+    @ttt.register("unit-test-a")
+    class A:
+        x = 1
+
+    @ttt.register("unit-test-b")
+    class B:
+        y = 2
+
+    cls = ttt.find("unit-test-a:unit-test-b")
+    assert issubclass(cls, A) and issubclass(cls, B)
+
+
+def test_schedule_constant_and_linear():
+    assert C(0.5) == 0.5
+    # [start_val, end_val, end_step] -> starts at step 0
+    assert C([1.0, 0.0, 10], global_step=5) == pytest.approx(0.5)
+    # 4-form with offset start
+    assert C([10, 1.0, 0.0, 20], global_step=10) == pytest.approx(1.0)
+    assert C([10, 1.0, 0.0, 20], global_step=15) == pytest.approx(0.5)
+    assert C([10, 1.0, 0.0, 20], global_step=100) == pytest.approx(0.0)
+
+
+def test_schedule_exp_and_milestones():
+    v = C([0, 1.0, 0.01, 100], global_step=50, interpolation="exp")
+    assert v == pytest.approx(math.exp(0.5 * math.log(0.01)))
+    # milestone form: value 1->0 over [0,10], then 0->5 over [10,20]
+    spec = [0, 1.0, 0.0, 10, 5.0, 20]
+    assert C(spec, global_step=5) == pytest.approx(0.5)
+    assert C(spec, global_step=15) == pytest.approx(2.5)
+    assert C_max(spec) == 5.0
+
+
+def test_config_dotlist_and_interp(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "name: exp\n"
+        "tag: ${rmspace:hello world,-}\n"
+        "system:\n  lr: 0.1\n  lr2: ${system.lr}\n"
+    )
+    cfg = load_config(str(p), cli_args=["system.lr=0.2", "system.new.deep=3"])
+    assert cfg.system.lr == 0.2
+    assert cfg.system.lr2 == 0.2
+    assert cfg.tag == "hello-world"
+    assert cfg.system.new.deep == 3
+    assert isinstance(cfg.system, DotDict)
+
+
+def test_parse_structured():
+    from dataclasses import dataclass
+
+    @dataclass
+    class Cfg:
+        a: int = 1
+        b: float = 2.0
+
+    c = parse_structured(Cfg, {"a": 5, "unknown": 1})
+    assert c.a == 5 and c.b == 2.0
+    with pytest.raises(ValueError):
+        parse_structured(Cfg, {"unknown": 1}, strict=True)
+
+
+def test_resolver_arith():
+    cfg = {"a": 4, "b": "${idiv:a,2}", "c": "${mul:a,3}"}
+    out = resolve_interpolations(cfg)
+    assert out["b"] == 2
+    assert out["c"] == 12.0
+
+
+def test_apply_dotlist_parses_types():
+    cfg = apply_dotlist({}, ["x=true", "y=[1,2,3]", "z=null", "s=hello"])
+    assert cfg["x"] is True
+    assert cfg["y"] == [1, 2, 3]
+    assert cfg["z"] is None
+    assert cfg["s"] == "hello"
+
+
+def test_eight_virtual_devices():
+    import jax
+
+    assert jax.device_count() >= 8
+
+
+def test_callbacks_snapshots(tmp_path):
+    from triplaneturbo_tpu.utils.callbacks import MetricsLogger, snapshot_code, snapshot_config
+
+    trial = str(tmp_path / "trial")
+    d = snapshot_config(trial, {"a": 1, "b": {"c": 2}})
+    import os
+    assert os.path.exists(os.path.join(d, "parsed.yaml"))
+    code_dir = snapshot_code(trial, repo_root="/root/repo")
+    assert code_dir is None or os.path.exists(os.path.join(code_dir, "bench.py"))
+    ml = MetricsLogger(trial)
+    ml.log(0, {"loss": 1.5, "skip": "str"})
+    ml.progress(0, 100, "warmup")
+    assert os.path.exists(ml.path) and os.path.exists(ml.progress_path)
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import optax
+    from triplaneturbo_tpu.utils.checkpoint import load_train_state, save_train_state
+
+    params = {"w": jnp.ones((3, 3)), "b": jnp.zeros((3,))}
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    p = save_train_state(str(tmp_path / "ckpt"), params, opt_state, 123)
+    p2, o2, step = load_train_state(p, params, opt_state)
+    assert step == 123
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(p2["w"]), np.asarray(params["w"]))
+
+
+def test_mesh_outlier_removal():
+    import jax.numpy as jnp
+    import numpy as np
+    from triplaneturbo_tpu.utils.mesh import Mesh
+
+    # two components: a big quad (2 tris) and a tiny lone triangle
+    v = jnp.asarray(
+        [[0,0,0],[1,0,0],[1,1,0],[0,1,0],  # quad
+         [5,5,5],[6,5,5],[5,6,5]], jnp.float32)
+    f = jnp.asarray([[0,1,2],[0,2,3],[4,5,6]], jnp.int32)
+    mesh = Mesh(v_pos=v, t_pos_idx=f)
+    out = mesh.remove_outliers(outlier_n_faces_threshold=2)
+    tm = np.asarray(out.t_mask)
+    assert tm.tolist() == [True, True, False]
+    vm = np.asarray(out.v_mask)
+    assert vm[:4].all() and not vm[4:].any()
+
+
+def test_phase_timer():
+    from triplaneturbo_tpu.utils.profiling import phase_report, phase_timer
+    with phase_timer("unit"):
+        pass
+    rep = phase_report()
+    assert "unit" in rep and rep["unit"]["count"] >= 1
+
+
+def test_mesh_vertex_tangents_torch_parity():
+    """Tangents match the reference algorithm (threestudio mesh.py:162-205)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+    from triplaneturbo_tpu.utils.mesh import Mesh
+
+    rng = np.random.RandomState(3)
+    # small fan of triangles sharing vertex 0, with random UVs
+    v = rng.randn(6, 3).astype(np.float32)
+    f = np.asarray([[0, 1, 2], [0, 2, 3], [0, 3, 4], [0, 4, 5]], np.int32)
+    uv = rng.rand(6, 2).astype(np.float32)
+
+    mesh = Mesh(v_pos=jnp.asarray(v), t_pos_idx=jnp.asarray(f), v_tex=jnp.asarray(uv))
+    ours = np.asarray(mesh.vertex_tangents())
+
+    # torch mirror of the reference algorithm
+    vp, tp, tx = torch.from_numpy(v), torch.from_numpy(f).long(), torch.from_numpy(uv)
+    pos = [vp[tp[:, i]] for i in range(3)]
+    tex = [tx[tp[:, i]] for i in range(3)]
+    i0, i1, i2 = tp[:, 0], tp[:, 1], tp[:, 2]
+    fn = torch.cross(pos[1] - pos[0], pos[2] - pos[0], dim=-1)
+    vn = torch.zeros_like(vp)
+    for i in range(3):
+        vn.scatter_add_(0, tp[:, i][:, None].repeat(1, 3), fn)
+    vn = torch.where((vn * vn).sum(-1, keepdim=True) > 1e-20, vn, torch.tensor([0.0, 0.0, 1.0]))
+    vn = F.normalize(vn, dim=1)
+    uve1, uve2 = tex[1] - tex[0], tex[2] - tex[0]
+    pe1, pe2 = pos[1] - pos[0], pos[2] - pos[0]
+    nom = pe1 * uve2[..., 1:2] - pe2 * uve1[..., 1:2]
+    denom = uve1[..., 0:1] * uve2[..., 1:2] - uve1[..., 1:2] * uve2[..., 0:1]
+    tang = nom / torch.where(denom > 0.0, denom.clamp(min=1e-6), denom.clamp(max=-1e-6))
+    tangents = torch.zeros_like(vn)
+    tansum = torch.zeros_like(vn)
+    for i in range(3):
+        idx = tp[:, i][:, None].repeat(1, 3)
+        tangents.scatter_add_(0, idx, tang)
+        tansum.scatter_add_(0, idx, torch.ones_like(tang))
+    tangents = F.normalize(tangents / tansum, dim=1)
+    ref = F.normalize(tangents - (tangents * vn).sum(-1, keepdim=True) * vn, dim=1).numpy()
+
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    # orthogonal to normals
+    vn_ours = np.asarray(mesh.vertex_normals())
+    assert np.abs((ours * vn_ours).sum(-1)).max() < 1e-5

@@ -1,0 +1,546 @@
+"""Training system: multi-step progressive rendering distillation.
+
+Rebuild of ``multiprompt-dual-renderer-multistep-generator-system``
+(/root/reference/custom/triplaneturbo/systems/
+multiprompt_dual_renderer_multistep_generator.py): per optimization step,
+partition the 4 shifted training timesteps into strata (sample_timesteps
+:28-45), then for each denoise step i: add fresh gaussian noise at t_i,
+student UNet denoise -> pred_original, VAE-decode to a space cache, render
+with BOTH renderers (mesh rasterize + patch/volume), score with the ASD
+teacher ensemble plus regularizers, and accumulate grads (loss/num_parts,
+:528-536); the next latent is the detached denoised latent (:539). Optimizer
+is Adan on the adapter/MLP/background/variance parameters only.
+
+TPU-native: the whole 4-step loop is ONE jitted+grad-ed function; gradient
+accumulation uses optax.MultiSteps; data parallelism shards the view batch
+over a Mesh axis with replicated params (SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import triplaneturbo_tpu as ttt
+
+from ..models.geometry.triplane_geometry import TriplaneGeometry, trainable_mask
+from ..models.guidance.asd_guidance import ASDGuidance
+from ..models.renderers.patch_renderer import PatchRenderer, PatchRendererConfig
+from ..models.renderers.rasterize_renderer import GenerativeSpaceMeshRasterizeRenderer
+from ..models.renderers.volume_renderer import GenerativeSpaceSDFVolumeRenderer
+from ..models.schedulers import Schedule, add_noise, ddim_timesteps, pred_original
+from ..utils.schedule import C
+from .optimizers import adan
+
+
+def sample_timesteps(
+    all_timesteps: np.ndarray, num_parts: int, rng: np.random.RandomState
+) -> np.ndarray:
+    """Stratified timestep sampling (reference sample_timesteps :28-45):
+    partition the training timesteps into num_parts strata, draw one from
+    each (descending)."""
+    n = len(all_timesteps)
+    per = n // num_parts
+    out = []
+    for p in range(num_parts):
+        lo = p * per
+        hi = n if p == num_parts - 1 else (p + 1) * per
+        out.append(all_timesteps[rng.randint(lo, hi)])
+    return np.asarray(out)
+
+
+@dataclass
+class LossConfig:
+    lambda_asd: Any = 1.0
+    lambda_asd_2nd: Any = 1.0
+    lambda_sparsity: Any = 0.0
+    lambda_sparsity_2nd: Any = 0.0
+    lambda_opaque: Any = 0.0
+    lambda_opaque_2nd: Any = 0.0
+    lambda_z_variance_2nd: Any = 0.0
+    lambda_eikonal_2nd: Any = 0.0
+    lambda_orient_2nd: Any = 0.0
+    lambda_sdf_abs: Any = 0.0
+    lambda_normal_consistency: Any = 0.0
+    lambda_laplacian_smoothness: Any = 0.0
+
+
+@dataclass
+class TrainerConfig:
+    num_parts_training: int = 4
+    num_steps_training: int = 4
+    gradient_accumulation_steps: int = 1
+    prediction_type: str = "epsilon"
+    parallel_guidance: bool = False
+    n_view: int = 4
+    rasterize_hw: int = 512
+    learning_rate: float = 2e-4
+    adan_betas: Tuple[float, float, float] = (0.98, 0.92, 0.99)
+    adan_eps: float = 1e-15
+    loss: LossConfig = field(default_factory=LossConfig)
+    # guidance schedules (C()-able)
+    mv_guidance_scale: Any = 10.0
+    rd_guidance_scale: Any = 5.0
+    sd_guidance_scale: Any = 7.5
+    mv_min_step_percent: Any = 0.02
+    mv_max_step_percent: Any = 0.98
+    rd_min_step_percent: Any = 0.02
+    rd_max_step_percent: Any = 0.98
+    sd_min_step_percent: Any = 0.02
+    sd_max_step_percent: Any = 0.98
+    rgb_grad_shrink: Any = 1.0
+    sdf_grad_shrink: Any = 0.001
+    def_grad_shrink: Any = 0.001
+
+
+@ttt.register("multiprompt-dual-renderer-multistep-generator-system")
+class TriplaneTurboTrainer:
+    """Owns params, optimizer state and the jitted multi-step train step."""
+
+    def __init__(
+        self,
+        cfg: TrainerConfig,
+        geometry: TriplaneGeometry,
+        geometry_params: Any,
+        background,  # flax module
+        background_params: Any,
+        volume_renderer: GenerativeSpaceSDFVolumeRenderer,
+        volume_params: Any,
+        rasterize_renderer: GenerativeSpaceMeshRasterizeRenderer,
+        patch_cfg: PatchRendererConfig,
+        guidance: ASDGuidance,
+        schedule: Schedule,
+        material_fn: Callable,
+    ):
+        self.cfg = cfg
+        self.geometry = geometry
+        self.background = background
+        self.volume_renderer = volume_renderer
+        self.rasterize_renderer = rasterize_renderer
+        self.patch_cfg = patch_cfg
+        self.guidance = guidance
+        self.schedule = schedule
+        self.material_fn = material_fn
+        self.global_step = 0
+        self.rng = np.random.RandomState(0)
+
+        self.params = {
+            "geometry": geometry_params,
+            "background": background_params,
+            "renderer": volume_params,
+        }
+        # trainable partition: geometry adapters/MLPs; background: all;
+        # renderer: the learned variance (reference peft_layers + bg + var)
+        self.train_mask = {
+            "geometry": trainable_mask(geometry_params),
+            "background": jax.tree_util.tree_map(lambda _: True, background_params),
+            "renderer": jax.tree_util.tree_map(lambda _: True, volume_params),
+        }
+        # frozen leaves of the student (the SD backbone) can live in the
+        # compute dtype: bf16 storage halves ~3.6 GB of frozen weights while
+        # trainable adapters/MLPs stay f32
+        if geometry.cfg.space_generator.dtype_str == "bfloat16":
+            self.params["geometry"] = jax.tree_util.tree_map(
+                lambda p, m: p if m or p.dtype != jnp.float32 else p.astype(jnp.bfloat16),
+                self.params["geometry"], self.train_mask["geometry"],
+            )
+        labels = jax.tree_util.tree_map(
+            lambda m: "train" if m else "freeze", self.train_mask
+        )
+        tx = optax.multi_transform(
+            {
+                "train": adan(cfg.learning_rate, cfg.adan_betas, cfg.adan_eps),
+                "freeze": optax.set_to_zero(),
+            },
+            labels,
+        )
+        if cfg.gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+        self.tx = tx
+        self.opt_state = tx.init(self.params)
+        self._train_step_jit = jax.jit(self._train_step)
+
+        # fixed training timesteps: shifted 4-step schedule (:393-402)
+        self.all_timesteps = ddim_timesteps(schedule, cfg.num_steps_training)
+
+    # ------------------------------------------------------------------
+
+    def host_scalars(self) -> Dict[str, jnp.ndarray]:
+        """Evaluate every C() schedule at the current step (host side)."""
+        s = self.global_step
+        cfg = self.cfg
+        T = self.schedule.config.num_train_timesteps
+
+        def c(v):
+            return jnp.asarray(C(v, 0, s), jnp.float32)
+
+        out = {
+            "mv_guidance_scale": c(cfg.mv_guidance_scale),
+            "rd_guidance_scale": c(cfg.rd_guidance_scale),
+            "sd_guidance_scale": c(cfg.sd_guidance_scale),
+            "rgb_grad_shrink": c(cfg.rgb_grad_shrink),
+            "sdf_grad_shrink": c(cfg.sdf_grad_shrink),
+            "def_grad_shrink": c(cfg.def_grad_shrink),
+        }
+        for mod in ("mv", "rd", "sd"):
+            out[f"{mod}_min_step"] = jnp.asarray(
+                int(C(getattr(cfg, f"{mod}_min_step_percent"), 0, s) * T), jnp.int32
+            )
+            out[f"{mod}_max_step"] = jnp.asarray(
+                int(C(getattr(cfg, f"{mod}_max_step_percent"), 0, s) * T), jnp.int32
+            )
+        for f_ in LossConfig.__dataclass_fields__:
+            out[f_] = c(getattr(cfg.loss, f_))
+        return out
+
+    # ------------------------------------------------------------------
+
+    def _render_both(self, params, batch, space_cache, scalars, key, text_global):
+        """Dual-renderer forward (reference forward_rendering :195-227)."""
+        cfg = self.cfg
+        Bsc = space_cache.shape[0]
+
+        def forward_field(p, sc):
+            return self.geometry.apply(params["geometry"], p, sc, method=self.geometry.forward_field)
+
+        def forward_field_grid(sc, R):
+            return self.geometry.apply(
+                params["geometry"], sc, R, method=self.geometry.forward_field_grid
+            )
+
+        def export_fn(p, sc):
+            return self.geometry.apply(
+                params["geometry"], p, sc, method=self.geometry.export
+            )["features"]
+
+        def background_fn(dirs, te):
+            return self.background.apply(
+                params["background"], dirs, te, train=True
+            )
+
+        k1, k2 = jax.random.split(key)
+        H = batch["rays_d_rasterize"].shape[1]
+        out_1st = self.rasterize_renderer(
+            batch["mvp_mtx"], batch["camera_positions"], space_cache,
+            forward_field, export_fn, self.material_fn, background_fn,
+            H, H,
+            text_embed=text_global,
+            rays_d_rasterize=batch["rays_d_rasterize"],
+            camera_distances=batch["camera_distances"],
+            c2w=batch["c2w"],
+            sdf_grad_shrink=scalars["sdf_grad_shrink"],
+            def_grad_shrink=scalars["def_grad_shrink"],
+        )
+
+        # 2nd renderer: patch-wrapped NeuS volume renderer. Points arrive
+        # grouped per VIEW ([B, M, 3]); regroup per SPACE-CACHE item instead
+        # of repeating the cache per view — repeating makes XLA materialize
+        # nv x [6,256,256,C] gather-gradient temps (HBM blowup on backward)
+        nv = batch["rays_o"].shape[0] // Bsc
+
+        def field_fn(points, with_normal):
+            B, M, _ = points.shape
+            pts = points.reshape(Bsc, nv * M, 3)
+
+            def ungroup(x):
+                return x.reshape(B, M, *x.shape[2:])
+
+            out = self.geometry.apply(params["geometry"], pts, space_cache)
+            out = {k: ungroup(v) for k, v in out.items()}
+            if with_normal:
+                def sdf_fn(p):
+                    return self.geometry.apply(
+                        params["geometry"], p, space_cache, method=self.geometry.forward_sdf
+                    ).sum()
+
+                grad = ungroup(jax.grad(sdf_fn)(pts))
+                out["sdf_grad"] = grad
+                out["normal"] = grad / jnp.maximum(
+                    jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-8
+                )
+            out["features"] = self.material_fn(out["features"])
+            return out
+
+        field_fn = jax.checkpoint(field_fn, static_argnums=(1,))
+
+        def base_renderer(ro, rd, key=None, train=True, **kw):
+            return self.volume_renderer.apply(
+                params["renderer"], ro, rd, field_fn, background_fn,
+                camera_distances=batch["camera_distances"], c2w=batch["c2w"],
+                text_embed=text_global, key=key, train=train,
+                rgb_grad_shrink=scalars["rgb_grad_shrink"],
+            )
+
+        patch = PatchRenderer(self.patch_cfg, base_renderer)
+        out_2nd = patch(batch["rays_o"], batch["rays_d"], key=k2, train=True)
+        return out_1st, out_2nd
+
+    def _regularizers(self, out_1st, out_2nd, scalars) -> jax.Array:
+        """Active regularizer set (reference _compute_loss :594-788)."""
+        loss = 0.0
+        # 1st renderer
+        op1 = out_1st["opacity"]
+        loss += scalars["lambda_sparsity"] * jnp.sqrt(op1**2 + 0.01).mean()
+        opc = jnp.clip(op1, 1e-3, 1 - 1e-3)
+        loss += scalars["lambda_opaque"] * (
+            -(opc * jnp.log(opc) + (1 - opc) * jnp.log(1 - opc))
+        ).mean()
+        if "mesh" in out_1st:
+            nc = jnp.stack([m.normal_consistency() for m in out_1st["mesh"]]).mean()
+            lap = jnp.stack([m.laplacian() for m in out_1st["mesh"]]).mean()
+            loss += scalars["lambda_normal_consistency"] * nc
+            loss += scalars["lambda_laplacian_smoothness"] * lap
+        # 2nd renderer
+        op2 = out_2nd["opacity"]
+        loss += scalars["lambda_sparsity_2nd"] * jnp.sqrt(op2**2 + 0.01).mean()
+        zv = out_2nd["z_variance"]
+        sel = (op2 > 0.5).astype(zv.dtype)
+        loss += scalars["lambda_z_variance_2nd"] * (zv * sel).sum() / jnp.maximum(sel.sum(), 1)
+        if "eikonal" in out_2nd:
+            loss += scalars["lambda_eikonal_2nd"] * out_2nd["eikonal"]
+        return loss
+
+    def _guidance_losses(self, key, out_1st, out_2nd, batch, text_embeds, scalars, teacher_params):
+        """Teacher ensemble (reference compute_guidance_n_loss :229-300).
+
+        parallel_guidance=True stacks both renderers through one teacher pass
+        (the reference's >=98GB mode); False runs the two renderers through
+        the teachers sequentially — same math, half the peak activations
+        (v1 default, configs/TriplaneTurbo_v1.yaml:58)."""
+        g = self.guidance.bind(teacher_params)
+        k_mv, k_rd, k_sd = jax.random.split(key, 3)
+
+        def mv(k, rgb, rgb_2nd):
+            return g.mv_branch(
+                k, rgb, text_embeds["cond_21"], text_embeds["uncond_21"],
+                batch["c2w"], scalars["mv_min_step"], scalars["mv_max_step"],
+                scalars["mv_guidance_scale"], rgb_2nd=rgb_2nd,
+            )
+
+        def rd(k, n, d, n2, d2):
+            return g.rd_branch(
+                k, n, d, text_embeds["cond_15"], text_embeds["uncond_15"],
+                batch["c2w"], batch["camera_distances_relative"],
+                scalars["rd_min_step"], scalars["rd_max_step"],
+                scalars["rd_guidance_scale"], normal_2nd=n2, disparity_2nd=d2,
+            )
+
+        def sd(k, rgb, rgb_2nd):
+            return g.sd_branch(
+                k, rgb, text_embeds["cond_21"], text_embeds["uncond_21"],
+                scalars["sd_min_step"], scalars["sd_max_step"],
+                scalars["sd_guidance_scale"], rgb_2nd=rgb_2nd,
+            )
+
+        fid = 0.0
+        if self.cfg.parallel_guidance:
+            mv_o = mv(k_mv, out_1st["comp_rgb"], out_2nd["comp_rgb"])
+            rd_o = rd(
+                k_rd, out_1st["comp_normal_cam_vis"], out_1st["disparity"],
+                out_2nd["comp_normal_cam_vis"], out_2nd["disparity"],
+            )
+            sd_o = sd(k_sd, out_1st["comp_rgb"], out_2nd["comp_rgb"])
+            for branch in (mv_o, rd_o, sd_o):
+                fid = fid + scalars["lambda_asd"] * branch["loss_asd"][0]
+                fid = fid + scalars["lambda_asd_2nd"] * branch["loss_asd"][1]
+            gn = mv_o["grad_norm"]
+        else:
+            k1 = jax.random.split(k_mv, 2)
+            k2 = jax.random.split(k_rd, 2)
+            k3 = jax.random.split(k_sd, 2)
+            first = 0.0
+            second = 0.0
+            gn = None
+            for k_, out_, lam in ((0, out_1st, "lambda_asd"), (1, out_2nd, "lambda_asd_2nd")):
+                mv_o = mv(jnp.asarray([k1[k_]])[0], out_["comp_rgb"], None)
+                rd_o = rd(
+                    jnp.asarray([k2[k_]])[0], out_["comp_normal_cam_vis"],
+                    out_["disparity"], None, None,
+                )
+                sd_o = sd(jnp.asarray([k3[k_]])[0], out_["comp_rgb"], None)
+                term = mv_o["loss_asd"] + rd_o["loss_asd"] + sd_o["loss_asd"]
+                fid = fid + scalars[lam] * term
+                if gn is None:
+                    gn = mv_o["grad_norm"]
+        return fid, {"grad_norm_mv": gn}
+
+    # ------------------------------------------------------------------
+
+    def _loss_fn(self, params, batch_list, timesteps, text_embeds, scalars, key, teacher_params):
+        """The 4-iteration denoise loop as ONE lax.scan: the (large) loop body
+        compiles once instead of num_parts times (reference unrolls in Python,
+        systems/...py:409-539)."""
+        cfg = self.cfg
+        latent0 = batch_list[0]["noise"]
+        # stack the per-step camera batches into scan inputs
+        common = [
+            {k: v for k, v in b.items() if k != "noise"} for b in batch_list
+        ]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *common)
+        keys = jax.random.split(key, cfg.num_parts_training)
+
+        def body(latent, inp):
+            batch, t, k = inp
+            k_noise, k_render, k_guid = jax.random.split(k, 3)
+            noise = jax.random.normal(k_noise, latent.shape)
+            noisy = add_noise(self.schedule, latent, noise, t)
+            eps = self.geometry.apply(
+                params["geometry"], noisy, text_embeds["cond_local"], t,
+                method=self.geometry.denoise,
+            )
+            denoised = pred_original(self.schedule, eps, t, noisy)
+            space_cache = self.geometry.apply(
+                params["geometry"], denoised, method=self.geometry.decode
+            )
+            out_1st, out_2nd = self._render_both(
+                params, batch, space_cache, scalars, k_render,
+                text_embeds["global_21"],
+            )
+            fid, _ = self._guidance_losses(
+                k_guid, out_1st, out_2nd, batch, text_embeds, scalars, teacher_params
+            )
+            regu = self._regularizers(out_1st, out_2nd, scalars)
+            return jax.lax.stop_gradient(denoised), (fid, regu)
+
+        # remat each denoise step: without it the scan stores every step's
+        # residuals simultaneously (num_parts x the renderer/teacher
+        # activations — OOM at real sizes); the reference checkpoints the
+        # heavy submodules for the same reason (SURVEY §2.7)
+        _, (fids, regus) = jax.lax.scan(
+            jax.checkpoint(body), latent0, (stacked, timesteps, keys)
+        )
+        total = (fids.sum() + regus.sum()) / cfg.num_parts_training
+        metrics = {"loss": total, "fidelity": fids.mean(), "regularization": regus.mean()}
+        for i in range(cfg.num_parts_training):
+            metrics[f"fidelity_{i}"] = fids[i]
+            metrics[f"regularization_{i}"] = regus[i]
+        return total, metrics
+
+    def _train_step(self, params, opt_state, batch_list, timesteps, text_embeds, scalars, key, teacher_params):
+        (loss, metrics), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+            params, batch_list, timesteps, text_embeds, scalars, key, teacher_params
+        )
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    # ------------------------------------------------------------------
+    # validation / test (turntable rendering, reference :546-933)
+    # ------------------------------------------------------------------
+
+    def diffusion_reverse(self, noise: jax.Array, text_local: jax.Array, key=None) -> jax.Array:
+        """4-step shifted DDIM sampling to a space cache latent (reference
+        diffusion_reverse :317-379)."""
+        from ..models.schedulers import ddim_step
+
+        ts = jnp.asarray(self.all_timesteps, jnp.int32)
+        latents = noise
+        denoised = latents
+        for t in np.asarray(ts):
+            t_arr = jnp.asarray(t, jnp.int32)
+            eps = self.geometry.apply(
+                self.params["geometry"], latents, text_local, t_arr,
+                method=self.geometry.denoise,
+            )
+            out = ddim_step(self.schedule, eps, t_arr, latents, len(self.all_timesteps))
+            latents, denoised = out.prev_sample, out.pred_original_sample
+        return denoised
+
+    def render_eval_views(
+        self,
+        batch: Dict[str, Any],
+        text_embeds: Dict[str, Any],
+        chunk_views: int = 4,
+    ) -> Dict[str, np.ndarray]:
+        """Render a turntable batch with the mesh rasterize renderer
+        (eval renders per 4-view chunk like the reference :155-165)."""
+        latents = self.diffusion_reverse(
+            jnp.asarray(batch["noise"]), text_embeds["cond_local"]
+        )
+        space_cache = self.geometry.apply(
+            self.params["geometry"], latents, method=self.geometry.decode
+        )
+
+        def forward_field(p, sc):
+            return self.geometry.apply(self.params["geometry"], p, sc, method=self.geometry.forward_field)
+
+        def forward_field_grid(sc, R):
+            return self.geometry.apply(
+                self.params["geometry"], sc, R, method=self.geometry.forward_field_grid
+            )
+
+        def export_fn(p, sc):
+            return self.geometry.apply(
+                self.params["geometry"], p, sc, method=self.geometry.export
+            )["features"]
+
+        def background_fn(dirs, te):
+            return self.background.apply(self.params["background"], dirs, te, train=False)
+
+        n = batch["mvp_mtx"].shape[0]
+        frames = []
+        scalars = self.host_scalars()
+        for i in range(0, n, chunk_views):
+            sl = slice(i, min(i + chunk_views, n))
+            out = self.rasterize_renderer(
+                jnp.asarray(batch["mvp_mtx"][sl]),
+                jnp.asarray(batch["camera_positions"][sl]),
+                space_cache,
+                forward_field, export_fn, self.material_fn, background_fn,
+                batch["rays_d_rasterize"].shape[1], batch["rays_d_rasterize"].shape[2],
+                text_embed=text_embeds["global_21"],
+                rays_d_rasterize=jnp.asarray(batch["rays_d_rasterize"][sl]),
+                camera_distances=jnp.asarray(batch["camera_distances"][sl]),
+                c2w=jnp.asarray(batch["c2w"][sl]),
+            )
+            frames.append(
+                {
+                    "rgb": np.asarray(out["comp_rgb"]),
+                    "normal": np.asarray(out["comp_normal"]),
+                    "opacity": np.asarray(out["opacity"]),
+                    "depth": np.asarray(out["depth"]),
+                }
+            )
+        return {k: np.concatenate([f[k] for f in frames]) for k in frames[0]}
+
+    def save_eval_artifacts(self, views: Dict[str, np.ndarray], save_dir: str, tag: str) -> List[str]:
+        """Image grid (rgb|normal|opacity|depth) per view + turntable video
+        (reference SaverMixin usage :791-933)."""
+        from ..utils.saving import save_image_grid, save_video
+
+        paths = []
+        n = views["rgb"].shape[0]
+        mid = n // 2
+        d = views["depth"][mid, ..., 0]
+        d = (d - d.min()) / max(d.max() - d.min(), 1e-6)
+        paths.append(
+            save_image_grid(
+                os.path.join(save_dir, f"{tag}-grid.png"),
+                [views["rgb"][mid], views["normal"][mid], views["opacity"][mid].repeat(3, -1), np.stack([d] * 3, -1)],
+            )
+        )
+        paths.append(save_video(os.path.join(save_dir, f"{tag}-rgb.mp4"), list(views["rgb"])))
+        return paths
+
+    def train_step(self, batch_list: List[Dict[str, Any]], text_embeds: Dict[str, Any], key) -> Dict:
+        """One optimization step (host entry): evaluates schedules, samples
+        stratified timesteps, runs the jitted step."""
+        ts = sample_timesteps(self.all_timesteps, self.cfg.num_parts_training, self.rng)
+        scalars = self.host_scalars()
+        batch_list = [
+            {k: jnp.asarray(v) for k, v in b.items() if not isinstance(v, (list, str))}
+            for b in batch_list
+        ]
+        self.params, self.opt_state, metrics = self._train_step_jit(
+            self.params, self.opt_state, batch_list,
+            jnp.asarray(ts, jnp.int32), text_embeds, scalars, key,
+            self.guidance.teacher_params(),
+        )
+        self.global_step += 1
+        return metrics
