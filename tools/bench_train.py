@@ -1,0 +1,100 @@
+"""Training-step throughput on the current host.
+
+Prints one JSON line {"metric": "train_step_latency", ...}. Mirrors
+launch.py's --train loop (same system builder, data module and prompt
+processor) but times steady-state steps instead of running to completion.
+The reference's training budget is 15,000 steps on 8 x >=48 GB GPUs
+(BASELINE.md); the per-chip step latency here is the apples-to-apples unit.
+
+Usage: python tools/bench_train.py [--config configs/smoke_tiny.yaml] [--steps 4]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/smoke_tiny.yaml")
+    ap.add_argument("--steps", type=int, default=4)
+    args = ap.parse_args()
+
+    from triplaneturbo_tpu.data import DataModuleConfig, MultiviewMultipromptDataModule
+    from triplaneturbo_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder, sd15_text_config
+    from triplaneturbo_tpu.models.prompt_processors.callable_processor import (
+        DualStableDiffusionPromptProcessor,
+        PromptProcessorConfig,
+    )
+    from triplaneturbo_tpu.systems.builder import build_system
+    from triplaneturbo_tpu.utils import load_config, parse_structured
+
+    cfg = load_config(args.config, cli_args=[], n_devices=jax.device_count())
+    dm = MultiviewMultipromptDataModule(
+        parse_structured(DataModuleConfig, cfg.get("data", {})), seed=0
+    )
+    trainer = build_system(cfg, seed=0)
+
+    c_dim = trainer.geometry.cfg.space_generator.cross_attention_dim
+    enc21 = CLIPTextEncoder(CLIPTextConfig(width=c_dim))
+    p21 = jax.jit(lambda k: enc21.init(k, jnp.zeros((1, 77), jnp.int32)))(jax.random.PRNGKey(1))
+    enc15 = CLIPTextEncoder(sd15_text_config() if c_dim == 1024 else CLIPTextConfig(width=c_dim))
+    p15 = jax.jit(lambda k: enc15.init(k, jnp.zeros((1, 77), jnp.int32)))(jax.random.PRNGKey(2))
+    processor = DualStableDiffusionPromptProcessor(
+        PromptProcessorConfig(model_tag="sd15"), enc15, p15,
+        PromptProcessorConfig(model_tag="sd21"), enc21, p21,
+    )
+
+    def embeds_for(prompts):
+        out = processor(prompts)
+        first, second = out["first"], out["second"]
+        return {
+            "cond_local": second.local_text_embeddings,
+            "cond_21": second.local_text_embeddings,
+            "uncond_21": second.get_uncond_text_embeddings(),
+            "cond_15": first.local_text_embeddings,
+            "uncond_15": first.get_uncond_text_embeddings(),
+            "global_21": second.global_text_embeddings,
+        }
+
+    key = jax.random.PRNGKey(0)
+    batch_list = dm.sample_train_batch()
+    t0 = time.time()
+    metrics = trainer.train_step(batch_list, embeds_for(batch_list[0]["prompt"]), key)
+    float(metrics["loss"])
+    compile_s = time.time() - t0
+
+    ts = []
+    for i in range(args.steps):
+        batch_list = dm.sample_train_batch()
+        embeds = embeds_for(batch_list[0]["prompt"])
+        t0 = time.time()
+        metrics = trainer.train_step(batch_list, embeds, jax.random.fold_in(key, i + 1))
+        float(metrics["loss"])
+        ts.append(time.time() - t0)
+
+    step_s = min(ts)
+    print(f"# compile+first {compile_s:.1f}s, steps {['%.2f' % t for t in ts]}")
+    print(json.dumps({
+        "metric": "train_step_latency",
+        "value": round(step_s, 4),
+        "unit": "s/step",
+        "config": args.config,
+        "devices": jax.device_count(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
