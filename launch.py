@@ -65,36 +65,13 @@ def main() -> None:
 
     # text embeddings: encode the prompt library once with the (random-init or
     # converted) text towers — reference shards this across ranks and caches
-    from triplaneturbo_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder, sd15_text_config
-    from triplaneturbo_tpu.models.prompt_processors.callable_processor import (
-        DualStableDiffusionPromptProcessor,
-        PromptProcessorConfig,
-    )
+    from triplaneturbo_tpu.systems.prompt_setup import build_prompt_setup
 
-    c_dim = trainer.geometry.cfg.space_generator.cross_attention_dim
-    enc21 = CLIPTextEncoder(CLIPTextConfig(width=c_dim))
-    p21 = jax.jit(lambda k: enc21.init(k, jnp.zeros((1, 77), jnp.int32)))(jax.random.PRNGKey(seed + 1))
-    enc15 = CLIPTextEncoder(sd15_text_config() if c_dim == 1024 else CLIPTextConfig(width=c_dim))
-    p15 = jax.jit(lambda k: enc15.init(k, jnp.zeros((1, 77), jnp.int32)))(jax.random.PRNGKey(seed + 2))
-    neg = cfg.get("data", {}).get("negative_prompt", "")
-    processor = DualStableDiffusionPromptProcessor(
-        PromptProcessorConfig(model_tag="sd15", negative_prompt=neg),
-        enc15, p15,
-        PromptProcessorConfig(model_tag="sd21", negative_prompt=neg),
-        enc21, p21,
+    processor, embeds_for = build_prompt_setup(
+        trainer.geometry.cfg.space_generator.cross_attention_dim,
+        seed=seed,
+        negative_prompt=cfg.get("data", {}).get("negative_prompt", ""),
     )
-
-    def embeds_for(prompts):
-        out = processor(prompts)
-        first, second = out["first"], out["second"]
-        return {
-            "cond_local": second.local_text_embeddings,
-            "cond_21": second.local_text_embeddings,
-            "uncond_21": second.get_uncond_text_embeddings(),
-            "cond_15": first.local_text_embeddings,
-            "uncond_15": first.get_uncond_text_embeddings(),
-            "global_21": second.global_text_embeddings,
-        }
 
     if args.train:
         from triplaneturbo_tpu.utils.checkpoint import load_train_state, save_train_state

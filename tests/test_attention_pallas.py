@@ -64,3 +64,38 @@ def test_fused_vjp_matches_einsum_grads():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
+def test_flash_streaming_matches_einsum_long_and_ragged():
+    """Online-softmax streaming over KV tiles: parity at L > _KV_TILE and at
+    lengths that don't divide the tiles (padded-key masking)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from triplaneturbo_tpu.ops import attention_pallas as ap
+
+    key = jax.random.PRNGKey(3)
+    for L in [1536, 700]:  # > _KV_TILE, and non-divisible by both tiles
+        q = jax.random.normal(key, (2, L, 64))
+        k = jax.random.normal(jax.random.fold_in(key, 1), (2, L, 64))
+        v = jax.random.normal(jax.random.fold_in(key, 2), (2, L, 64))
+        # interpreter-mode pallas path
+        import unittest.mock as mock
+        with mock.patch.object(ap.pl, "pallas_call", functools_partial_interpret(ap.pl.pallas_call)):
+            out = ap._fused_attention_fwd_impl(q, k, v)
+        scale = 1.0 / 8.0
+        s = jnp.einsum("bld,bkd->blk", q, k) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        ref = jnp.einsum("blk,bkd->bld", p, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def functools_partial_interpret(pallas_call):
+    import functools
+
+    def wrapper(*a, **kw):
+        kw.setdefault("interpret", True)
+        return pallas_call(*a, **kw)
+
+    return wrapper

@@ -146,3 +146,39 @@ def test_teacher_math_is_stop_gradiented(guidance):
     g = jax.grad(loss_wrt_teacher)(guidance.mv.unet_params)
     total = sum(float(jnp.abs(v).sum()) for v in jax.tree_util.tree_leaves(g))
     assert total == 0.0
+
+
+def test_dual_ctx_orders_prompts_within_each_half():
+    """Dual-mode text layout: [r1(p0 views, p1 views) | r2(p0 views, p1 views)]
+    (reference: repeat_interleave(n_view) then .repeat(2,1,1); a flat repeat
+    would cross prompts between halves — regression test)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from triplaneturbo_tpu.models.guidance.asd_guidance import ASDGuidance
+
+    text = jnp.stack([jnp.full((3, 4), 0.0), jnp.full((3, 4), 1.0)])  # [2 prompts]
+    # batch = 2 halves x 2 prompts x 2 views
+    out = ASDGuidance._dual_ctx(None, text, 8, True)
+    ids = np.asarray(out[:, 0, 0])
+    np.testing.assert_array_equal(ids, [0, 0, 1, 1, 0, 0, 1, 1])
+    # single mode: plain per-prompt interleave
+    out1 = ASDGuidance._dual_ctx(None, text, 4, False)
+    np.testing.assert_array_equal(np.asarray(out1[:, 0, 0]), [0, 0, 1, 1])
+
+
+def test_avg_pool_matches_torch_adaptive():
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    from triplaneturbo_tpu.models.guidance.asd_guidance import _avg_pool_to
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 16, 16, 4).astype(np.float32)
+    ours = _avg_pool_to(jnp.asarray(x), 4)
+    ref = F.adaptive_avg_pool2d(torch.from_numpy(x).permute(0, 3, 1, 2), (4, 4))
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.permute(0, 2, 3, 1).numpy(), atol=1e-6
+    )

@@ -61,3 +61,30 @@ def test_dual_processor(tmp_path):
     out = dual(["x"])
     assert out["first"].local_text_embeddings.shape == (1, 77, 24)
     assert out["second"].local_text_embeddings.shape == (1, 77, 32)
+
+
+def test_cache_keys_distinguish_encoder_width(tmp_path):
+    """A tiny-config cache entry must not be served to a full-size run
+    (regression: smoke runs poisoned the cache for v1-scale training)."""
+    import jax
+    import jax.numpy as jnp
+
+    from triplaneturbo_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+    from triplaneturbo_tpu.models.prompt_processors.callable_processor import (
+        PromptProcessorConfig,
+        StableDiffusionMultipromptPromptProcessor,
+    )
+
+    def make(width):
+        enc = CLIPTextEncoder(CLIPTextConfig(width=width, layers=1, heads=1))
+        params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))
+        cfg = PromptProcessorConfig(model_tag="sd21", cache_dir=str(tmp_path))
+        return StableDiffusionMultipromptPromptProcessor(cfg, enc, params)
+
+    small = make(16)
+    out_small = small(["a hamburger"])
+    assert out_small.local_text_embeddings.shape[-1] == 16
+
+    big = make(32)
+    out_big = big(["a hamburger"])  # same prompt, same tag, bigger tower
+    assert out_big.local_text_embeddings.shape[-1] == 32

@@ -30,44 +30,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/smoke_tiny.yaml")
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("extras", nargs="*", help="dotlist config overrides")
     args = ap.parse_args()
 
     from triplaneturbo_tpu.data import DataModuleConfig, MultiviewMultipromptDataModule
-    from triplaneturbo_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder, sd15_text_config
-    from triplaneturbo_tpu.models.prompt_processors.callable_processor import (
-        DualStableDiffusionPromptProcessor,
-        PromptProcessorConfig,
-    )
     from triplaneturbo_tpu.systems.builder import build_system
+    from triplaneturbo_tpu.systems.prompt_setup import build_prompt_setup
     from triplaneturbo_tpu.utils import load_config, parse_structured
 
-    cfg = load_config(args.config, cli_args=[], n_devices=jax.device_count())
+    cfg = load_config(args.config, cli_args=args.extras, n_devices=jax.device_count())
     dm = MultiviewMultipromptDataModule(
         parse_structured(DataModuleConfig, cfg.get("data", {})), seed=0
     )
     trainer = build_system(cfg, seed=0)
-
-    c_dim = trainer.geometry.cfg.space_generator.cross_attention_dim
-    enc21 = CLIPTextEncoder(CLIPTextConfig(width=c_dim))
-    p21 = jax.jit(lambda k: enc21.init(k, jnp.zeros((1, 77), jnp.int32)))(jax.random.PRNGKey(1))
-    enc15 = CLIPTextEncoder(sd15_text_config() if c_dim == 1024 else CLIPTextConfig(width=c_dim))
-    p15 = jax.jit(lambda k: enc15.init(k, jnp.zeros((1, 77), jnp.int32)))(jax.random.PRNGKey(2))
-    processor = DualStableDiffusionPromptProcessor(
-        PromptProcessorConfig(model_tag="sd15"), enc15, p15,
-        PromptProcessorConfig(model_tag="sd21"), enc21, p21,
+    _, embeds_for = build_prompt_setup(
+        trainer.geometry.cfg.space_generator.cross_attention_dim,
+        negative_prompt=cfg.get("data", {}).get("negative_prompt", ""),
     )
-
-    def embeds_for(prompts):
-        out = processor(prompts)
-        first, second = out["first"], out["second"]
-        return {
-            "cond_local": second.local_text_embeddings,
-            "cond_21": second.local_text_embeddings,
-            "uncond_21": second.get_uncond_text_embeddings(),
-            "cond_15": first.local_text_embeddings,
-            "uncond_15": first.get_uncond_text_embeddings(),
-            "global_21": second.global_text_embeddings,
-        }
 
     key = jax.random.PRNGKey(0)
     batch_list = dm.sample_train_batch()

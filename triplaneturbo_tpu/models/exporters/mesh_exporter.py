@@ -30,6 +30,7 @@ class MeshExporterConfig:
     save_name: str = "model"
     save_video: bool = False
     isosurface_resolution: int = 160
+    # sized for "mc" output rates; double both for "mt"
     max_verts: int = 131072
     max_faces: int = 262144
     # "mc" matches the reference's diso DiffMC (marching cubes) topology

@@ -187,7 +187,7 @@ class TriplaneField(nn.Module):
         c = self.cfg
         m = c.mlp
         return (
-            jax.default_backend() != "cpu"
+            jax.default_backend() == "tpu"  # Mosaic kernels are TPU-only
             and c.sdf_bias == "sphere"
             and c.isosurface_deformable_grid
             and c.geo_interpolate in ("v1", "v2")

@@ -41,6 +41,17 @@ from ..unet import UNet2DConditionModel
 from ..vae import AutoencoderKL
 
 
+def _avg_pool_to(x: jax.Array, size: int) -> jax.Array:
+    """Exact box-average downsample to (size, size) — the TPU equivalent of
+    torch adaptive_avg_pool2d for the divisible resolutions this system uses
+    (512/128 -> 32; asserts divisibility instead of emulating the general
+    fractional-window case)."""
+    B, H, W, C = x.shape
+    assert H % size == 0 and W % size == 0, (H, W, size)
+    fh, fw = H // size, W // size
+    return x.reshape(B, size, fh, size, fw, C).mean(axis=(2, 4))
+
+
 class TeacherBundle(NamedTuple):
     """A frozen teacher: UNet (+optional VAE encoder) and params."""
 
@@ -244,20 +255,24 @@ class ASDGuidance:
         size = cfg.mv_image_size
         # resize each renderer's output to the teacher size BEFORE stacking —
         # the two renderers run at different resolutions (512² rasterize,
-        # 128² volume; reference encodes each set separately, :466-530)
-        rgb = jax.image.resize(rgb, (rgb.shape[0], size, size, 3), "bilinear")
+        # 128² volume; reference encodes each set separately, :466-530).
+        # antialias=False matches torch F.interpolate bilinear (no AA).
+        rgb = jax.image.resize(rgb, (rgb.shape[0], size, size, 3), "bilinear", antialias=False)
         if is_dual:
-            rgb_2nd = jax.image.resize(rgb_2nd, (rgb_2nd.shape[0], size, size, 3), "bilinear")
+            rgb_2nd = jax.image.resize(
+                rgb_2nd, (rgb_2nd.shape[0], size, size, 3), "bilinear", antialias=False
+            )
             rgb = jnp.concatenate([rgb, rgb_2nd], axis=0)
             c2w = jnp.concatenate([c2w, c2w], axis=0)
         B = rgb.shape[0]
         Bp = B // cfg.n_view
         imgs = rgb * 2.0 - 1.0
+        k_t, k_p, k_n, k_e = jax.random.split(key, 4)
+        # sample the VAE posterior like the reference's
+        # get_first_stage_encoding(encode_first_stage(...)) (interface.py)
         latents = self.mv.vae.apply(
-            self.mv.vae_params, imgs, method=self.mv.vae.encode
+            self.mv.vae_params, imgs, k_e, method=self.mv.vae.encode
         )
-
-        k_t, k_p, k_n = jax.random.split(key, 3)
         _t = jax.random.randint(k_t, (Bp,), min_step, max_step)
         _tp = self.get_t_plus(k_p, _t, cfg.mv_plus_ratio, cfg.mv_plus_random, min_step)
         t = jnp.repeat(_t, cfg.n_view)
@@ -269,9 +284,8 @@ class ASDGuidance:
         noisy_second = self._q_sample(lat_sg, noise, t_plus)
 
         camera = self._mv_camera(c2w)
-        reps = B // text_cond.shape[0]
-        ctx_c = jnp.repeat(text_cond, reps, axis=0)
-        ctx_u = jnp.repeat(text_uncond, reps, axis=0)
+        ctx_c = self._dual_ctx(text_cond, B, is_dual)
+        ctx_u = self._dual_ctx(text_uncond, B, is_dual)
 
         p_text, p_uncond, p_second = jax.lax.stop_gradient(
             self._three_way_pred(self.mv, noisy, noisy_second, t, t_plus, ctx_c, ctx_u, camera)
@@ -281,6 +295,22 @@ class ASDGuidance:
             cfg.mv_weighting_strategy, is_dual,
         )
         return {"loss_asd": loss, "grad_norm": gn, "t": t}
+
+    def _dual_ctx(self, text: jax.Array, batch: jax.Array, is_dual: bool) -> jax.Array:
+        """Per-view text context with correct dual ordering.
+
+        Images in dual mode are ordered [renderer1 views | renderer2 views]
+        with prompts interleaved WITHIN each half, so the text must be
+        repeat_interleave(n_view) per prompt and then TILED across the two
+        halves (reference: repeat_interleave then .repeat(2,1,1),
+        guidance :951-958 + :821-827). A flat jnp.repeat over the doubled
+        batch would misalign prompts for multi-prompt batches.
+        """
+        half = batch // 2 if is_dual else batch
+        per_view = jnp.repeat(text, half // text.shape[0], axis=0)
+        if is_dual:
+            per_view = jnp.concatenate([per_view, per_view], axis=0)
+        return per_view
 
     def rd_branch(
         self,
@@ -303,11 +333,14 @@ class ASDGuidance:
         cfg = self.cfg
         is_dual = normal_2nd is not None
         size = cfg.rd_image_size
-        geo = jnp.concatenate([normal * 2.0 - 1.0, disparity], axis=-1)  # [B,H,W,4]
-        geo = jax.image.resize(geo, (geo.shape[0], size, size, 4), "linear")
+        # normals stay in [0,1] (comp_normal_cam_vis) — the reference feeds
+        # them to the RD teacher unscaled (cat([normal, depth]), :933);
+        # downsampling is adaptive_avg_pool2d = exact box mean (:787-790)
+        geo = jnp.concatenate([normal, disparity], axis=-1)  # [B,H,W,4]
+        geo = _avg_pool_to(geo, size)
         if is_dual:
-            geo2 = jnp.concatenate([normal_2nd * 2.0 - 1.0, disparity_2nd], axis=-1)
-            geo2 = jax.image.resize(geo2, (geo2.shape[0], size, size, 4), "linear")
+            geo2 = jnp.concatenate([normal_2nd, disparity_2nd], axis=-1)
+            geo2 = _avg_pool_to(geo2, size)
             geo = jnp.concatenate([geo, geo2], axis=0)
             c2w = jnp.concatenate([c2w, c2w], axis=0)
             camera_distances_relative = jnp.concatenate([camera_distances_relative] * 2)
@@ -331,9 +364,8 @@ class ASDGuidance:
         else:
             dist = camera_distances_relative
         camera = self._rd_camera(c2w, dist)
-        reps = B // text_cond.shape[0]
-        ctx_c = jnp.repeat(text_cond, reps, axis=0)
-        ctx_u = jnp.repeat(text_uncond, reps, axis=0)
+        ctx_c = self._dual_ctx(text_cond, B, is_dual)
+        ctx_u = self._dual_ctx(text_uncond, B, is_dual)
 
         p_text, p_uncond, p_second = jax.lax.stop_gradient(
             self._three_way_pred(self.rd, noisy, noisy_second, t, t_plus, ctx_c, ctx_u, camera)
@@ -361,52 +393,50 @@ class ASDGuidance:
         is_dual = rgb_2nd is not None
         B = rgb.shape[0]
         Bp = B // cfg.n_view
-        k_v, k_t, k_p, k_n = jax.random.split(key, 4)
+        k_v, k_t, k_p, k_n, k_e = jax.random.split(key, 5)
 
         size = cfg.sd_image_size
         view_idx = jax.random.randint(k_v, (Bp,), 0, cfg.n_view)
         flat_idx = jnp.arange(Bp) * cfg.n_view + view_idx
         sel = rgb[flat_idx]  # [Bp, H, W, 3]
-        sel = jax.image.resize(sel, (Bp, size, size, 3), "bilinear")
+        # antialias=False matches torch F.interpolate bilinear (:1241-1248)
+        sel = jax.image.resize(sel, (Bp, size, size, 3), "bilinear", antialias=False)
         if is_dual:
             oppo = (view_idx + cfg.n_view // 2) % cfg.n_view if cfg.sd_oppo_side else view_idx
             flat2 = jnp.arange(Bp) * cfg.n_view + oppo
-            sel2 = jax.image.resize(rgb_2nd[flat2], (Bp, size, size, 3), "bilinear")
+            sel2 = jax.image.resize(
+                rgb_2nd[flat2], (Bp, size, size, 3), "bilinear", antialias=False
+            )
             sel = jnp.concatenate([sel, sel2], axis=0)
         n = sel.shape[0]
+        # posterior SAMPLE like the reference's latent_dist.sample()
         latents = jax.checkpoint(
-            lambda p_, im: self.sd.vae.apply(p_, im, method=self.sd.vae.encode)
-        )(self.sd.vae_params, sel * 2.0 - 1.0)
+            lambda p_, im, k_: self.sd.vae.apply(p_, im, k_, method=self.sd.vae.encode)
+        )(self.sd.vae_params, sel * 2.0 - 1.0, k_e)
 
-        _t = jax.random.randint(k_t, (Bp,), min_step, max_step)
-        _tp = self.get_t_plus(k_p, _t, cfg.sd_plus_ratio, cfg.sd_plus_random, min_step)
-        if is_dual:
-            t = jnp.concatenate([_t, _t])
-            t_plus = jnp.concatenate([_tp, _tp])
-        else:
-            t, t_plus = _t, _tp
+        # per-IMAGE timesteps — the reference draws t of shape
+        # [img_batch_size] (= n, both halves independent; :1391-1397)
+        t = jax.random.randint(k_t, (n,), min_step, max_step)
+        t_plus = self.get_t_plus(k_p, t, cfg.sd_plus_ratio, cfg.sd_plus_random, min_step)
 
         noise = jax.random.normal(k_n, latents.shape)
         lat_sg = jax.lax.stop_gradient(latents)
         noisy = self._q_sample(lat_sg, noise, t)
         noisy_second = self._q_sample(lat_sg, noise, t_plus)
 
-        reps = n // text_cond.shape[0]
-        ctx_c = jnp.repeat(text_cond, reps, axis=0)
-        ctx_u = jnp.repeat(text_uncond, reps, axis=0)
+        ctx_c = self._dual_ctx(text_cond, n, is_dual)
+        ctx_u = self._dual_ctx(text_uncond, n, is_dual)
 
         p_text, p_uncond, p_second = jax.lax.stop_gradient(
             self._three_way_pred(self.sd, noisy, noisy_second, t, t_plus, ctx_c, ctx_u, None)
         )
-        # per-sample loss normalization differs: n_view -> 1 selected view
         loss, gn = self._asd_loss(
             latents, p_text, p_uncond, p_second, t, guidance_scale,
             cfg.sd_weighting_strategy, is_dual,
         )
-        if not is_dual:
-            loss = loss * cfg.n_view  # undo the /n_view (only 1 view used)
-        else:
-            loss = loss * cfg.n_view
+        # per-sample normalization: only 1 view per prompt is scored, so undo
+        # the /n_view inside _asd_loss (same in single and dual mode)
+        loss = loss * cfg.n_view
         return {"loss_asd": loss, "grad_norm": gn, "t": t}
 
     # ------------------------------------------------------------------

@@ -32,8 +32,10 @@ from ..clip_text import CLIPTextConfig, CLIPTextEncoder
 from ..tokenizer import CLIPTokenizer
 
 
-def _cache_key(model_tag: str, prompt: str, kind: str = "local") -> str:
-    ident = f"{model_tag}-{prompt}-{kind}"
+def _cache_key(model_tag: str, prompt: str, kind: str = "local", width: int = 0) -> str:
+    # width participates in the key: differently-sized encoders sharing a tag
+    # (tiny smoke configs vs full SD towers) must not collide in the cache
+    ident = f"{model_tag}-w{width}-{prompt}-{kind}"
     return hashlib.md5(ident.encode()).hexdigest()
 
 
@@ -90,7 +92,11 @@ class _Encoder:
         os.makedirs(cfg.cache_dir, exist_ok=True)
 
     def _path(self, prompt: str) -> str:
-        return os.path.join(self.cfg.cache_dir, _cache_key(self.cfg.model_tag, prompt) + ".npz")
+        width = int(getattr(self.text_encoder.cfg, "width", 0))
+        return os.path.join(
+            self.cfg.cache_dir,
+            _cache_key(self.cfg.model_tag, prompt, width=width) + ".npz",
+        )
 
     def prepare(self, prompts: List[str]) -> None:
         """Encode the rank's shard of uncached prompts and write the cache."""
@@ -110,10 +116,21 @@ class _Encoder:
         if missing:
             self.prepare(missing)
         locals_, pooleds = [], []
+        width = int(getattr(self.text_encoder.cfg, "width", 0))
+        stale = []
         for p in prompts:
             z = np.load(self._path(p))
+            if width and z["local"].shape[-1] != width:
+                stale.append(p)
+                continue
             locals_.append(z["local"])
             pooleds.append(z["pooled"])
+        if stale:
+            # defensive re-encode for caches written before width-aware keys
+            for p in stale:
+                os.remove(self._path(p))
+            self.prepare(stale)
+            return self.load(prompts)
         return jnp.asarray(np.stack(locals_)), jnp.asarray(np.stack(pooleds))
 
 

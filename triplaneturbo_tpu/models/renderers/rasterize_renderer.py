@@ -43,6 +43,7 @@ class RasterizeRendererConfig:
     def_grad_shrink: float = 0.001
     enable_bg_rays: bool = True
     normal_direction: str = "camera"
+    # sized for "mc" output rates; double both for "mt"
     max_verts: int = 98304
     max_faces: int = 196608
     # "mc" matches the reference's diso DiffMC (marching cubes) topology
@@ -148,13 +149,17 @@ class GenerativeSpaceMeshRasterizeRenderer:
         render_rgb: bool = True,
         sdf_grad_shrink: Optional[float] = None,
         def_grad_shrink: Optional[float] = None,
+        forward_field_grid: Optional[Callable] = None,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         B = mvp_mtx.shape[0]
         Bsc = space_cache.shape[0]
         nv_per = B // Bsc
 
-        meshes = self.isosurface(space_cache, forward_field, sdf_grad_shrink, def_grad_shrink)
+        meshes = self.isosurface(
+            space_cache, forward_field, sdf_grad_shrink, def_grad_shrink,
+            forward_field_grid=forward_field_grid,
+        )
 
         outs = []
         for i, mesh in enumerate(meshes):

@@ -176,6 +176,7 @@ class GenerativeSpaceSDFVolumeRenderer(nn.Module):
         out["orient"] = (w_sg * jnp.clip(cos, 0.0) ** 2).sum() / jnp.maximum(
             (opacity > 0).sum(), 1
         )
+        out["sdf_abs"] = jnp.abs(sdf).mean()
 
         comp_normal = accumulate_along_rays(weights, normal)
         comp_normal = comp_normal / jnp.maximum(

@@ -165,13 +165,18 @@ def ddim_step(
     eps = pred_epsilon(sched, model_output, t, sample)
 
     if eta > 0.0:
+        if noise is None:
+            # silently shrinking the direction term by sigma^2 without adding
+            # the stochastic term would produce systematically under-dispersed
+            # samples — require the noise the ancestral step needs
+            raise ValueError("ddim_step with eta > 0 requires a noise array")
         var = (1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev)
         sigma = eta * jnp.sqrt(var)
     else:
         sigma = 0.0
     dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
     prev = jnp.sqrt(a_prev) * x0 + dir_xt
-    if eta > 0.0 and noise is not None:
+    if eta > 0.0:
         prev = prev + sigma * noise
     return DDIMStepOutput(prev_sample=prev, pred_original_sample=x0)
 

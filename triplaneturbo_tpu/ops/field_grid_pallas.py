@@ -109,21 +109,26 @@ def _pallas_forward(a_xy, a_xz, a_zy, w2blk, w3t, radius, bias_r,
     return sdf, deform
 
 
-def _reference_field_grid(m_xy, m_xz, m_zy, w1s, w2s, w3s, w1d, w2d, w3d,
-                          radius, bias_r, concat):
-    """The unfused XLA expression (ground truth + VJP recompute path)."""
-    R = m_xy.shape[0]
-    # feat[i, j, k] = xy[j, i] | xz[k, i] | zy[j, k]  (v1: sum, v2: concat)
-    xy = jnp.swapaxes(m_xy, 0, 1)[:, :, None, :]  # [x, y, 1, C]
-    xz = jnp.swapaxes(m_xz, 0, 1)[:, None, :, :]  # [x, 1, z, C]
+def _reference_slab(m_xy_s, m_xz_s, m_zy, w1s, w2s, w3s, w1d, w2d, w3d,
+                    radius, bias_r, concat, world_x):
+    """Unfused XLA expression for an x-SLAB of the grid.
+
+    m_xy_s/m_xz_s: [R, S, C] (x restricted to the slab), m_zy: [R, R, C];
+    world_x: [S] world x-coordinates of the slab. Returns (sdf [S, R, R],
+    deform [3, S, R, R]).
+    """
+    R = m_zy.shape[0]
+    S = m_xy_s.shape[1]
+    xy = jnp.swapaxes(m_xy_s, 0, 1)[:, :, None, :]  # [S, y, 1, C]
+    xz = jnp.swapaxes(m_xz_s, 0, 1)[:, None, :, :]  # [S, 1, z, C]
     zy = m_zy[None, :, :, :]  # [1, y, z, C]
     if concat:
-        C = m_xy.shape[-1]
+        C = m_zy.shape[-1]
         feat = jnp.concatenate(
             [
-                jnp.broadcast_to(xy, (R, R, R, C)),
-                jnp.broadcast_to(xz, (R, R, R, C)),
-                jnp.broadcast_to(zy, (R, R, R, C)),
+                jnp.broadcast_to(xy, (S, R, R, C)),
+                jnp.broadcast_to(xz, (S, R, R, C)),
+                jnp.broadcast_to(zy, (S, R, R, C)),
             ],
             axis=-1,
         )
@@ -136,12 +141,26 @@ def _reference_field_grid(m_xy, m_xz, m_zy, w1s, w2s, w3s, w1d, w2d, w3d,
         h = jnp.maximum(h @ w2, 0.0)
         return h @ w3
 
-    sdf = mlp(f, w1s, w2s, w3s)[:, 0].reshape(R, R, R)
-    deform = mlp(f, w1d, w2d, w3d).reshape(R, R, R, 3)
+    sdf = mlp(f, w1s, w2s, w3s)[:, 0].reshape(S, R, R)
+    deform = mlp(f, w1d, w2d, w3d).reshape(S, R, R, 3)
     world = jnp.linspace(-radius, radius, R)
-    g = jnp.stack(jnp.meshgrid(world, world, world, indexing="ij"), axis=-1)
+    g = jnp.stack(
+        jnp.meshgrid(world_x, world, world, indexing="ij"), axis=-1
+    )
     sdf = sdf + jnp.linalg.norm(g, axis=-1) - bias_r
     return sdf, jnp.moveaxis(deform, -1, 0)
+
+
+def _reference_field_grid(m_xy, m_xz, m_zy, w1s, w2s, w3s, w1d, w2d, w3d,
+                          radius, bias_r, concat):
+    """The unfused XLA expression (ground truth + VJP recompute path)."""
+    R = m_xy.shape[0]
+    world = jnp.linspace(-radius, radius, R)
+    sdf, deform = _reference_slab(
+        m_xy, m_xz, m_zy, w1s, w2s, w3s, w1d, w2d, w3d,
+        radius, bias_r, concat, world,
+    )
+    return sdf, deform
 
 
 def _prep(m_xy, m_xz, m_zy, w1s, w1d, w2s, w2d, w3s, w3d, concat):
@@ -204,11 +223,46 @@ def _fwd(m_xy, m_xz, m_zy, w1s, w2s, w3s, w1d, w2d, w3d,
 
 
 def _bwd(radius, bias_r, concat, interpret, res, g):
-    args = res
-    _, vjp = jax.vjp(
-        lambda *a: _reference_field_grid(*a, radius, bias_r, concat), *args
-    )
-    return vjp(g)
+    """Backward = recompute the unfused expression in x-SLABS.
+
+    A whole-grid recompute materializes [R³, 128] fp32 intermediates (~2 GB
+    at R=160) inside the training backward; slabbing bounds the recompute
+    peak to R/n_slabs of that while producing identical gradients (the slabs
+    partition the output and every parameter gradient is a sum over points).
+    """
+    m_xy, m_xz, m_zy, w1s, w2s, w3s, w1d, w2d, w3d = res
+    g_sdf, g_def = g
+    R = m_xy.shape[0]
+    n_slabs = 8 if R % 8 == 0 else 1
+    S = R // n_slabs
+    world = jnp.linspace(-radius, radius, R)
+
+    grads = None
+    for s in range(n_slabs):
+        sl = slice(s * S, (s + 1) * S)
+
+        def f(mxy_s, mxz_s, mzy, a, b, c, d, e, h):
+            return _reference_slab(
+                mxy_s, mxz_s, mzy, a, b, c, d, e, h,
+                radius, bias_r, concat, world[sl],
+            )
+
+        _, vjp = jax.vjp(
+            f, m_xy[:, sl], m_xz[:, sl], m_zy, w1s, w2s, w3s, w1d, w2d, w3d
+        )
+        d = vjp((g_sdf[sl], g_def[:, sl]))
+        if grads is None:
+            grads = [
+                jnp.zeros_like(m_xy), jnp.zeros_like(m_xz), d[2],
+                d[3], d[4], d[5], d[6], d[7], d[8],
+            ]
+        else:
+            grads[2] = grads[2] + d[2]
+            for i in range(3, 9):
+                grads[i] = grads[i] + d[i]
+        grads[0] = grads[0].at[:, sl].set(d[0])
+        grads[1] = grads[1].at[:, sl].set(d[1])
+    return tuple(grads)
 
 
 fused_field_grid.defvjp(_fwd, _bwd)

@@ -542,6 +542,15 @@ def extract_isosurface(
     if method == "mc":
         return marching_cubes(sdf, deformation, **kw)
     if method == "mt":
+        import warnings
+
+        warnings.warn(
+            "isosurface method 'mt' emits ~2x more vertices/faces than 'mc'; "
+            "the default capacities in the pipeline/renderer/exporter configs "
+            "are sized for 'mc' — double max_verts/max_faces for 'mt' or "
+            "overflow is silently mask-dropped",
+            stacklevel=2,
+        )
         return marching_tets(sdf, deformation, **kw)
     raise ValueError(f"Unknown isosurface method {method}")
 

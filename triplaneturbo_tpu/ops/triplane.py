@@ -212,21 +212,16 @@ def sample_from_hplanes(
         return jnp.concatenate(
             [side * a_side, front_f * a_front, back_f * a_back], axis=-1
         )
+    def trapezoid(thres):
+        a_hi = 1.0 - (xe - thres) / (1.0 - thres)
+        a_lo = (xe + 1.0) / (thres + 1.0)
+        return jnp.where(xe > thres, a_hi, a_lo)
+
     if interpolate_feat == "v3":
-        def trapezoid(thres):
-            a_hi = 1.0 - (xe - thres) / (1.0 - thres)
-            a_lo = (xe + 1.0) / (thres + 1.0)
-            return jnp.where(xe > thres, a_hi, a_lo)
-
-        a_front = trapezoid(0.5)
-        a_back = trapezoid(-0.5)
-        return jnp.concatenate([side, front_f * a_front, back_f * a_back], axis=-1)
+        return jnp.concatenate(
+            [side, front_f * trapezoid(0.5), back_f * trapezoid(-0.5)], axis=-1
+        )
     if interpolate_feat == "v4":
-        def trapezoid(thres):
-            a_hi = 1.0 - (xe - thres) / (1.0 - thres)
-            a_lo = (xe + 1.0) / (thres + 1.0)
-            return jnp.where(xe > thres, a_hi, a_lo)
-
         return side + front_f * trapezoid(0.5) + back_f * trapezoid(-0.5)
     if interpolate_feat == "v5":
         return side + front_f * (0.5 + 0.5 * xe) + back_f * (0.5 - 0.5 * xe)

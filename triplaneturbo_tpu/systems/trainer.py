@@ -164,7 +164,10 @@ class TriplaneTurboTrainer:
             tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
         self.tx = tx
         self.opt_state = tx.init(self.params)
-        self._train_step_jit = jax.jit(self._train_step)
+        # donate params + optimizer state: both are immediately replaced on
+        # the host, and without donation XLA keeps a second full copy of the
+        # trainables + all Adan moments live across the step (pure HBM waste)
+        self._train_step_jit = jax.jit(self._train_step, donate_argnums=(0, 1))
 
         # fixed training timesteps: shifted 4-step schedule (:393-402)
         self.all_timesteps = ddim_timesteps(schedule, cfg.num_steps_training)
@@ -236,6 +239,7 @@ class TriplaneTurboTrainer:
             c2w=batch["c2w"],
             sdf_grad_shrink=scalars["sdf_grad_shrink"],
             def_grad_shrink=scalars["def_grad_shrink"],
+            forward_field_grid=forward_field_grid,
         )
 
         # 2nd renderer: patch-wrapped NeuS volume renderer. Points arrive
@@ -299,11 +303,21 @@ class TriplaneTurboTrainer:
         # 2nd renderer
         op2 = out_2nd["opacity"]
         loss += scalars["lambda_sparsity_2nd"] * jnp.sqrt(op2**2 + 0.01).mean()
+        opc2 = jnp.clip(op2, 1e-3, 1 - 1e-3)
+        loss += scalars["lambda_opaque_2nd"] * (
+            -(opc2 * jnp.log(opc2) + (1 - opc2) * jnp.log(1 - opc2))
+        ).mean()
         zv = out_2nd["z_variance"]
         sel = (op2 > 0.5).astype(zv.dtype)
         loss += scalars["lambda_z_variance_2nd"] * (zv * sel).sum() / jnp.maximum(sel.sum(), 1)
         if "eikonal" in out_2nd:
             loss += scalars["lambda_eikonal_2nd"] * out_2nd["eikonal"]
+        # volume renderer exposes the orientation penalty (weights ·
+        # clamp(n·d)², reference :618-633) and mean |sdf| (:689-705)
+        if "orient" in out_2nd:
+            loss += scalars["lambda_orient_2nd"] * out_2nd["orient"]
+        if "sdf_abs" in out_2nd:
+            loss += scalars["lambda_sdf_abs"] * out_2nd["sdf_abs"]
         return loss
 
     def _guidance_losses(self, key, out_1st, out_2nd, batch, text_embeds, scalars, teacher_params):
@@ -358,12 +372,12 @@ class TriplaneTurboTrainer:
             second = 0.0
             gn = None
             for k_, out_, lam in ((0, out_1st, "lambda_asd"), (1, out_2nd, "lambda_asd_2nd")):
-                mv_o = mv(jnp.asarray([k1[k_]])[0], out_["comp_rgb"], None)
+                mv_o = mv(k1[k_], out_["comp_rgb"], None)
                 rd_o = rd(
-                    jnp.asarray([k2[k_]])[0], out_["comp_normal_cam_vis"],
+                    k2[k_], out_["comp_normal_cam_vis"],
                     out_["disparity"], None, None,
                 )
-                sd_o = sd(jnp.asarray([k3[k_]])[0], out_["comp_rgb"], None)
+                sd_o = sd(k3[k_], out_["comp_rgb"], None)
                 term = mv_o["loss_asd"] + rd_o["loss_asd"] + sd_o["loss_asd"]
                 fid = fid + scalars[lam] * term
                 if gn is None:
@@ -498,6 +512,7 @@ class TriplaneTurboTrainer:
                 rays_d_rasterize=jnp.asarray(batch["rays_d_rasterize"][sl]),
                 camera_distances=jnp.asarray(batch["camera_distances"][sl]),
                 c2w=jnp.asarray(batch["c2w"][sl]),
+                forward_field_grid=forward_field_grid,
             )
             frames.append(
                 {
