@@ -140,7 +140,9 @@ def make_text_embeds():
 def test_train_step_runs_and_updates_only_trainables(trainer):
     batch_list = make_batch()
     text = make_text_embeds()
-    before = jax.tree_util.tree_map(lambda x: x, trainer.params)
+    # snapshot to HOST arrays: the step jit donates the params buffers, so
+    # device references held across the step are deleted
+    before = jax.tree_util.tree_map(np.asarray, trainer.params)
     metrics = trainer.train_step(batch_list, text, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
 
