@@ -16,6 +16,7 @@ are channels-last ``[Bsc, 6, h, w, 4]``.
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 import os
@@ -84,7 +85,11 @@ def load_prompt_library(cfg: DataModuleConfig) -> Dict[str, List[str]]:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=8)
 def _directions_unit_focal(h: int, w: int) -> np.ndarray:
+    """Cached unit-focal pixel directions (the reference caches these once at
+    datamodule setup, :145-152; rebuilding them 4x per host-side step-batch
+    was measurable at 512²). Treat the returned array as read-only."""
     i, j = np.meshgrid(
         np.arange(w, dtype=np.float32) + 0.5,
         np.arange(h, dtype=np.float32) + 0.5,
@@ -151,21 +156,25 @@ def create_camera_from_angle(
     else:
         light_positions = pos
 
-    def rays_for(h, w):
-        focal = 0.5 * h / np.tan(0.5 * fovy)  # [B]
-        dirs = _directions_unit_focal(h, w)[None].repeat(B, axis=0)
-        dirs[..., :2] /= focal[:, None, None, None]
-        rays_d = np.einsum("bhwc,bkc->bhwk", dirs, c2w[:, :3, :3])
-        rays_d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
-        rays_o = np.broadcast_to(pos[:, None, None, :], rays_d.shape).copy()
-        return rays_o.astype(np.float32), rays_d.astype(np.float32)
-
     h = cfg.height if phase == "train" else cfg.eval_height
     w = cfg.width if phase == "train" else cfg.eval_width
     rh = cfg.ray_height if phase == "train" else cfg.eval_height
     rw = cfg.ray_width if phase == "train" else cfg.eval_width
-    rays_o, rays_d = rays_for(rh, rw)
-    _, rays_d_rasterize = rays_for(h, w)
+
+    # ONE focal, computed from the RAY grid height, divides BOTH direction
+    # grids — the reference builds a single focal_length from ray_height and
+    # reuses it for the full-res rasterize grid (reference :318-331), so the
+    # rasterize directions intentionally have height/ray_height x the spread
+    def rays_dirs_for(hh, ww, focal):
+        dirs = _directions_unit_focal(hh, ww)[None].repeat(B, axis=0)
+        dirs[..., :2] /= focal[:, None, None, None]
+        rays_d = np.einsum("bhwc,bkc->bhwk", dirs, c2w[:, :3, :3])
+        return (rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)).astype(np.float32)
+
+    focal = 0.5 * rh / np.tan(0.5 * fovy)  # [B]
+    rays_d = rays_dirs_for(rh, rw, focal)
+    rays_o = np.broadcast_to(pos[:, None, None, :], rays_d.shape).astype(np.float32)
+    rays_d_rasterize = rays_dirs_for(h, w, focal)
 
     # projection (near/far hard-coded like the reference :344-346)
     f = 1.0 / np.tan(fovy / 2.0)
@@ -251,7 +260,10 @@ class MultiviewMultipromptDataModule:
         """Turntable rig (reference val/test datasets :480-665)."""
         cfg = self.cfg
         n = n_views or (cfg.n_val_views if split == "val" else cfg.n_test_views)
-        azim = np.linspace(-180.0, 180.0, n, endpoint=False)
+        # reference val/test rigs: torch.linspace(0, 360, n) INCLUSIVE
+        # (multiview_multiprompt_dualrender_multistep_v2.py:517) — step
+        # 360/(n-1) with the first/last frame duplicated
+        azim = np.linspace(0.0, 360.0, n)
         elev = np.full((n,), cfg.eval_elevation_deg)
         fovy = np.full((n,), cfg.eval_fovy_deg)
         dist = np.full((n,), cfg.eval_camera_distance)

@@ -29,14 +29,17 @@ from ...ops.ray import (
     neus_alpha,
     neus_density_from_sdf,
     render_weight_from_alpha,
+    volsdf_density,
 )
 
 
 @dataclass
 class VolumeRendererConfig:
     radius: float = 1.0
-    num_samples_per_ray: int = 128
-    num_samples_per_ray_importance: int = 64
+    # reference v1 config: 64 FINAL samples/ray + 128 proposal samples
+    # (configs/TriplaneTurbo_v1.yaml:132-133)
+    num_samples_per_ray: int = 64
+    num_samples_per_ray_importance: int = 128
     near_plane: float = 0.1
     far_plane: float = 4.0
     learned_variance_init: float = 0.4605170185988091  # log(100)/10
@@ -100,6 +103,9 @@ class GenerativeSpaceSDFVolumeRenderer(nn.Module):
             pts = ro[:, None, :] + rd[:, None, :] * mid[..., None]
             out = field_fn(pts.reshape(B, -1, 3), False)
             sdf = out["sdf"].reshape(n_rays, -1)
+            if cfg.use_volsdf:
+                # Laplace-CDF density (reference :286-287)
+                return volsdf_density(sdf, inv_std)
             return neus_density_from_sdf(sdf, inv_std, step)
 
         sample_key = key if (train and cfg.randomized) else None
@@ -109,9 +115,7 @@ class GenerativeSpaceSDFVolumeRenderer(nn.Module):
             cfg.num_samples_per_ray_importance,
             cfg.num_samples_per_ray,
             cfg.near_plane,
-            cfg.far_plane
-            if camera_distances is None
-            else cfg.far_plane,
+            cfg.far_plane,
             key=sample_key,
         )
         S = t_starts.shape[-1]

@@ -93,10 +93,6 @@ class UNet2DConditionModel(nn.Module):
             cemb = nn.Dense(time_dim, dtype=dtype, name="camera_embedding_linear_2")(cemb)
             temb = temb + cemb
 
-        conv_kw = dict(
-            locon_type=cfg.locon_type, locon_rank=cfg.locon_rank,
-            n_planes=cfg.adapters.n_planes, dtype=dtype,
-        )
         res_kw = dict(
             time_emb_dim=time_dim, locon_type=cfg.locon_type,
             locon_rank=cfg.locon_rank, n_planes=cfg.adapters.n_planes, dtype=dtype,

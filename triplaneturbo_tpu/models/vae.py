@@ -140,8 +140,13 @@ class Encoder(nn.Module):
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock2D(out_channels=ch, name=f"down_{i}_res_{j}", **res_kw)(h, None)
             if i < len(cfg.block_out_channels) - 1:
+                # SD/LDM VAE downsample pads RIGHT/BOTTOM only ((0,1,0,1),
+                # diffusers Downsample2D padding=0 + F.pad; mvdream
+                # model.py:84-86) — symmetric padding would shift every conv
+                # window one pixel against converted pretrained kernels
+                h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
                 h = AdaptedConv(
-                    ch, strides=(2, 2), padding=1, locon_type="none", dtype=dtype,
+                    ch, strides=(2, 2), padding=0, locon_type="none", dtype=dtype,
                     name=f"down_{i}_downsample",
                 )(h)
         ch_top = cfg.block_out_channels[-1]
