@@ -43,11 +43,22 @@ def main() -> None:
     prompt = "a DSLR photo of a hamburger"
     key = jax.random.PRNGKey(42)
 
+    import jax.numpy as jnp
+
+    def sync(out) -> float:
+        # CLAUDE.md / measured gotcha: jax.block_until_ready is often a no-op
+        # on the tunneled axon backend — end every timed region with a forced
+        # scalar host transfer, which cannot return before the XLA program
+        # producing the buffer completes. Costs ~28 ms (included in the
+        # reported number, i.e. the honest end-to-end latency).
+        return float(jnp.sum(out["mesh"][0].v_pos)) + float(
+            jnp.sum(out["latents"][0, 0, 0, :2])
+        )
+
     # compile + warmup
     t0 = time.time()
     out = pipe(prompt, key=key)
-    jax.block_until_ready(out["latents"])
-    jax.block_until_ready(out["mesh"][0].v_pos)
+    sync(out)
     compile_s = time.time() - t0
 
     # timed runs
@@ -56,7 +67,7 @@ def main() -> None:
         k = jax.random.fold_in(key, i)
         t0 = time.time()
         out = pipe(prompt, key=k)
-        jax.block_until_ready(out["mesh"][0].v_pos)
+        sync(out)
         times.append(time.time() - t0)
     best = min(times)
     med = sorted(times)[len(times) // 2]

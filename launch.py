@@ -28,10 +28,32 @@ def main() -> None:
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--resume", default=None, help="train-state checkpoint dir")
+    parser.add_argument(
+        "--typecheck",
+        action="store_true",
+        help="install the jaxtyping/typeguard import hook over the package "
+        "(reference launch.py:132-135)",
+    )
     parser.add_argument("extras", nargs="*", help="dotlist config overrides")
     args = parser.parse_args()
 
+    if args.typecheck:
+        # must run before the first `import triplaneturbo_tpu`
+        from jaxtyping import install_import_hook
+
+        install_import_hook("triplaneturbo_tpu", "typeguard.typechecked")
+
     import jax
+
+    # multi-host: one jax process per host (reference: DDP over ranks,
+    # launch.py:111-123 / SURVEY §5.8). Env-triggered so single-host runs are
+    # untouched; jax auto-detects SLURM/OpenMPI/Cloud-TPU topologies.
+    if (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1
+        or int(os.environ.get("SLURM_NTASKS", "1")) > 1
+    ):
+        jax.distributed.initialize()
 
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -49,13 +71,22 @@ def main() -> None:
     from triplaneturbo_tpu.utils.checkpoint import save_params
 
     cfg = load_config(args.config, cli_args=args.extras, n_devices=jax.device_count())
+    # per-process seed offset (reference seed_everything(seed + rank),
+    # launch.py:168)
     seed = args.seed if args.seed is not None else cfg.get("seed", 0)
+    seed = seed + jax.process_index()
 
     dm = MultiviewMultipromptDataModule(
         parse_structured(DataModuleConfig, cfg.get("data", {})), seed=seed
     )
     trainer = build_system(cfg, seed=seed)
     os.makedirs(cfg.trial_dir, exist_ok=True)
+
+    def rank() -> int:
+        return jax.process_index()
+
+    def world() -> int:
+        return jax.process_count()
 
     from triplaneturbo_tpu.utils.callbacks import MetricsLogger, snapshot_code, snapshot_config
 
@@ -106,6 +137,19 @@ def main() -> None:
                     os.path.join(cfg.trial_dir, f"ckpt_{step+1:06d}", "train_state"),
                     trainer.params, trainer.opt_state, step + 1,
                 )
+            # validation pass (reference val_check_interval: 5000,
+            # configs/TriplaneTurbo_v1.yaml:251 — turntable renders per val prompt)
+            val_every = cfg.get("trainer", {}).get("val_check_interval", ckpt_every)
+            if val_every and (step + 1) % val_every == 0:
+                val_prompts = dm.library["val"][rank() :: world()]
+                save_dir = os.path.join(cfg.trial_dir, "save")
+                for vi, vprompt in enumerate(val_prompts):
+                    vbatch = dm.eval_views(vprompt, split="val")
+                    views = trainer.render_eval_views(vbatch, embeds_for([vprompt]))
+                    trainer.save_eval_artifacts(
+                        views, save_dir, f"it{step+1}-val-{vi}"
+                    )
+                ttt.info(f"step {step+1}: validated {len(val_prompts)} prompts")
         save_params(os.path.join(cfg.trial_dir, "last", "geometry.msgpack"), trainer.params["geometry"])
     elif args.validate or args.test:
         # turntable renders per prompt (reference --validate/--test,

@@ -70,3 +70,64 @@ def test_obj_mtl_export(tmp_path):
     assert "vt " in txt and "mtllib" in txt
     # faces reference uv indices
     assert "/" in txt.split("\nf ")[1]
+
+
+def test_kire_rig_silhouette_bbox():
+    """Lock the eval camera rig: rasterized silhouette bbox of a known cube
+    must match the analytically projected corners (kire parameters: radius 3,
+    fovy 50deg, elevation -15deg, front +y, load-normalize bound 0.9 —
+    reference mesh_visualize.py:38-41 + kiuikit render.py defaults)."""
+    from triplaneturbo_tpu.evaluation.mesh_render import (
+        kire_camera_rig,
+        kire_normalize_mesh,
+    )
+
+    # cube with arbitrary size/offset: normalization must cancel both
+    corners = np.array(
+        [[x, y, z] for x in (0, 4.0) for y in (1.0, 5.0) for z in (-2.0, 2.0)],
+        np.float32,
+    )
+    tris = np.array(
+        [
+            [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],  # x faces
+            [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],  # y faces
+            [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],  # z faces
+        ],
+        np.int32,
+    )
+    v = kire_normalize_mesh(jnp.asarray(corners))
+    np.testing.assert_allclose(np.abs(np.asarray(v)).max(), 0.9, atol=1e-6)
+
+    mesh = Mesh(v_pos=v, t_pos_idx=jnp.asarray(tris))
+    H = W = 256
+    views = render_mesh_views(mesh, n_views=4, height=H, width=W)
+    mvp = np.asarray(kire_camera_rig(4))
+
+    for view in range(4):
+        # analytic: project the 8 corners, take the NDC bbox (the MVP's y row
+        # is pre-negated, threestudio/utils/ops.py:346-365 convention — NDC y
+        # maps directly to image rows, see ops/rasterize.py docstring)
+        vh = np.concatenate([np.asarray(v), np.ones((8, 1), np.float32)], axis=1)
+        clip = vh @ mvp[view].T
+        ndc = clip[:, :2] / clip[:, 3:4]
+        px = (ndc[:, 0] * 0.5 + 0.5) * W
+        py = (ndc[:, 1] * 0.5 + 0.5) * H
+        expect = np.array(
+            [
+                np.clip(px.min(), 0, W), np.clip(px.max(), 0, W),
+                np.clip(py.min(), 0, H), np.clip(py.max(), 0, H),
+            ]
+        )
+
+        sil = np.asarray(views[view]).sum(-1) < 2.999  # non-white pixels
+        assert sil.any(), f"view {view}: empty silhouette"
+        ys, xs = np.nonzero(sil)
+        got = np.array([xs.min(), xs.max() + 1, ys.min(), ys.max() + 1])
+        np.testing.assert_allclose(got, expect, atol=2.5, err_msg=f"view {view}")
+
+    # framing regression: kire frames tightly — a bound-0.9 cube at radius 3,
+    # fovy 50 deg nearly fills the frame (~0.80 measured; its corners reach
+    # past the frustum). Locks radius/fovy/bound against accidental change.
+    occupancy = np.asarray(views).sum(-1) < 2.999
+    frac = occupancy.mean()
+    assert 0.70 < frac < 0.90, f"unexpected framing, occupancy {frac:.3f}"

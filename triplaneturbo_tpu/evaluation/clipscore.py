@@ -68,6 +68,47 @@ class CLIPScorer:
             lambda p, ids: self.text.apply(p, ids)[1] @ self.text_projection
         )
 
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, seed: int = 0) -> "CLIPScorer":
+        """Build a scorer from an HF CLIPModel (ViT-B/32) torch checkpoint.
+
+        Accepts a .bin/.pt state dict or a {state_dict: ...} wrapper; converts
+        the vision tower, text tower and text_projection so scores match the
+        reference eval (compute.py:111-161) on real weights.
+        """
+        import torch
+
+        from ..utils.convert_torch import (
+            apply_flat_to_tree,
+            convert_clip_text,
+            convert_clip_vision,
+        )
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        sd = sd.get("state_dict", sd)
+        sd = {k: np.asarray(v.detach().cpu().float().numpy()) for k, v in sd.items()}
+
+        scorer = cls(seed=seed)
+        vis_flat = convert_clip_vision(sd, n_layers=scorer.vision.cfg.layers)
+        text_projection = vis_flat.pop("__text_projection__", None)
+        vision_params, v_loaded, v_miss = apply_flat_to_tree(vis_flat, scorer.vision_params)
+        txt_flat = convert_clip_text(sd, n_layers=scorer.text.cfg.layers)
+        text_params, t_loaded, t_miss = apply_flat_to_tree(txt_flat, scorer.text_params)
+        bad = [m for m in v_miss + t_miss]
+        if bad:
+            raise ValueError(f"CLIP conversion mismatches: {bad[:10]}")
+        return cls(
+            vision=scorer.vision,
+            vision_params=vision_params,
+            text=scorer.text,
+            text_params=text_params,
+            text_projection=jnp.asarray(text_projection)
+            if text_projection is not None
+            else None,
+            tokenizer=scorer.tokenizer,
+            seed=seed,
+        )
+
     def image_features(self, images: jnp.ndarray) -> jnp.ndarray:
         f = self._embed_images(self.vision_params, images)
         return f / jnp.linalg.norm(f, axis=-1, keepdims=True)

@@ -24,16 +24,43 @@ from ..utils.camera import (
 from ..utils.mesh import Mesh
 
 
-def kire_camera_rig(n_views: int = 4, elevation_deg: float = -15.0, radius: float = 2.6, fovy_deg: float = 49.1):
-    """The mesh_visualize camera rig (elevation -15, azimuths covering 360°,
-    front +y). kire's default radius/fovy are close to these; exact values
-    only shift framing, not ranking."""
+def kire_normalize_mesh(
+    v_pos: jnp.ndarray,
+    v_mask: Optional[jnp.ndarray] = None,
+    bound: float = 0.9,
+) -> jnp.ndarray:
+    """kiui.mesh.Mesh.load auto-resize: center the mesh and scale so the
+    largest axis extent fills [-bound, bound] (kiuikit defaults resize=True,
+    bound=0.9). kire applies this on OBJ load, so the eval framing is
+    size-invariant — required for CLIP-score parity with the reference
+    (mesh_visualize.py renders through kire)."""
+    if v_mask is not None:
+        big = jnp.where(v_mask[:, None], v_pos, -jnp.inf)
+        small = jnp.where(v_mask[:, None], v_pos, jnp.inf)
+        vmax, vmin = big.max(axis=0), small.min(axis=0)
+    else:
+        vmax, vmin = v_pos.max(axis=0), v_pos.min(axis=0)
+    center = (vmax + vmin) / 2
+    scale = 2.0 * bound / jnp.maximum(jnp.max(vmax - vmin), 1e-8)
+    out = (v_pos - center) * scale
+    return jnp.where(v_mask[:, None], out, 0.0) if v_mask is not None else out
+
+
+def kire_camera_rig(n_views: int = 4, elevation_deg: float = -15.0, radius: float = 3.0, fovy_deg: float = 50.0):
+    """The mesh_visualize camera rig.
+
+    CLI-pinned values (reference evaluation/mesh_visualize.py:38-41):
+    4 azimuths, elevation -15°, 512², front +y (view 0 = azimuth 90°, see the
+    `(azi - 90) % 360` rename at :31-34). Remaining values are kiuikit's
+    kire defaults (kiui/render.py argparse): radius=3, fovy=50°, with the
+    OrbitCamera near=0.01. Meshes must be kire-normalized first
+    (:func:`kire_normalize_mesh`)."""
     azim = np.deg2rad(np.linspace(0, 360, n_views, endpoint=False) + 90.0)  # front +y
     elev = np.deg2rad(np.full(n_views, elevation_deg))
     dist = np.full(n_views, radius)
     c2w = camera_to_world(jnp.asarray(elev), jnp.asarray(azim), jnp.asarray(dist))
     fovy = jnp.full((n_views,), np.deg2rad(fovy_deg))
-    proj = get_projection_matrix(fovy, 1.0, 0.1, 100.0)
+    proj = get_projection_matrix(fovy, 1.0, 0.01, 100.0)
     return get_mvp_matrix(c2w, proj)
 
 
@@ -50,17 +77,24 @@ def render_mesh_views(
     """Render vertex-colored mesh turntable views, [V, H, W, 3] in [0,1].
 
     Simple headlight-Lambertian shading like kire's default view mode.
+    Applies kire's load-time mesh normalization (bound 0.9) before the rig.
     """
     mvp = kire_camera_rig(n_views, elevation_deg)
+    v_pos = kire_normalize_mesh(mesh.v_pos, mesh.v_mask)
     v_rgb = mesh.v_rgb if mesh.v_rgb is not None else jnp.ones_like(mesh.v_pos) * 0.7
     v_nrm = mesh.vertex_normals()
     bg = jnp.ones((height, width, 3)) * jnp.asarray(bg_color)
 
     frames = []
-    vh = jnp.concatenate([mesh.v_pos, jnp.ones_like(mesh.v_pos[:, :1])], axis=-1)
+    vh = jnp.concatenate([v_pos, jnp.ones_like(v_pos[:, :1])], axis=-1)
     for v in range(n_views):
         clip = vh @ mvp[v].T
-        rast = rasterize(clip, mesh.t_pos_idx, mesh.t_mask, height, width, faces_per_tile=faces_per_tile)
+        # eval meshes can have big triangles (unlike MC output) — allow a
+        # face to span the full tile grid so nothing silently truncates
+        rast = rasterize(
+            clip, mesh.t_pos_idx, mesh.t_mask, height, width,
+            faces_per_tile=faces_per_tile, max_span=max(height, width) // 16,
+        )
         rgb = interpolate(v_rgb, rast, mesh.t_pos_idx)
         if lambertian:
             nrm = interpolate(v_nrm, rast, mesh.t_pos_idx)

@@ -63,6 +63,10 @@ class Attention(nn.Module):
     dim_head: int
     cross_attention_dim: Optional[int] = None  # None -> self-attention
     out_bias: bool = True
+    # SD-UNet transformer q/k/v are bias-free, but the VAE mid attention
+    # (CompVis q/k/v 1x1 convs, diffusers Attention in AutoencoderKL) has
+    # biases — required for converted pretrained VAE weights
+    qkv_bias: bool = False
     adapters: AdapterSpec = NO_ADAPTERS
     dtype: jnp.dtype = jnp.float32
 
@@ -89,9 +93,9 @@ class Attention(nn.Module):
         P = self.adapters.n_planes
         N, L, _ = hidden_states.shape
 
-        to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")
-        to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")
-        to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")
+        to_q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")
+        to_k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k")
+        to_v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v")
         to_out = nn.Dense(self.query_dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out")
 
         def with_lora(name: str, base_fn, x: jax.Array, out_features: int) -> jax.Array:

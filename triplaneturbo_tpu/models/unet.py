@@ -46,6 +46,9 @@ class UNetConfig:
     layers_per_block: int = 2
     cross_attention_dim: int = 1024
     attention_head_dim: int = 64  # per-head dim; heads = channels // this
+    # fixed head COUNT (RichDreamer: num_heads=8 -> dim_head = ch // 8 per
+    # level, nd_sd openaimodel_v2_1.py:618); overrides attention_head_dim
+    attention_num_heads: Optional[int] = None
     transformer_depth: int = 1
     camera_dim: Optional[int] = None  # MVDream/RichDreamer camera conditioning
     adapters: AdapterSpec = NO_ADAPTERS
@@ -104,9 +107,13 @@ class UNet2DConditionModel(nn.Module):
         )
 
         def make_attn(ch: int, name: str) -> Transformer2D:
+            if cfg.attention_num_heads is not None:
+                heads, dim_head = cfg.attention_num_heads, ch // cfg.attention_num_heads
+            else:
+                heads, dim_head = ch // cfg.attention_head_dim, cfg.attention_head_dim
             return AttnBlock(
-                heads=ch // cfg.attention_head_dim,
-                dim_head=cfg.attention_head_dim,
+                heads=heads,
+                dim_head=dim_head,
                 depth=cfg.transformer_depth,
                 cross_attention_dim=cfg.cross_attention_dim,
                 adapters=cfg.adapters,
@@ -212,10 +219,12 @@ def mvdream_config(dtype_str: str = "bfloat16", remat: bool = False) -> UNetConf
 
 
 def richdreamer_config(dtype_str: str = "bfloat16", remat: bool = False) -> UNetConfig:
-    """RichDreamer nd-mv: SD-1.5 text space (768), camera cond, 4-view attn."""
+    """RichDreamer nd-mv: SD-1.5 text space (768), camera cond, 4-view attn,
+    fixed num_heads=8 (config txtcond_mvsd-4-objaverse_finetune_wovae.yaml)."""
     return UNetConfig(
         cross_attention_dim=768,
         camera_dim=16,
+        attention_num_heads=8,
         adapters=AdapterSpec(joint_self_attention=True, joint_group=4),
         dtype_str=dtype_str,
         remat=remat,

@@ -66,6 +66,7 @@ class VAEAttnBlock(nn.Module):
             query_dim=C,
             heads=1,
             dim_head=C,
+            qkv_bias=True,  # CompVis/diffusers VAE attention q/k/v carry biases
             adapters=AdapterSpec(self_lora_type=self.lora_type, self_rank=self.rank),
             dtype=self.dtype,
             name="attention",

@@ -54,9 +54,16 @@ def _sub(cfg: Dict, key: str) -> Dict:
 
 
 def build_teacher(
-    kind: str, key: jax.Array, sizes: Optional[Dict] = None, dtype_str: str = "bfloat16"
+    kind: str,
+    key: jax.Array,
+    sizes: Optional[Dict] = None,
+    dtype_str: str = "bfloat16",
+    ckpt_path: Optional[str] = None,
 ) -> TeacherBundle:
-    """Build one frozen teacher with random weights (checkpoint-loadable)."""
+    """Build one frozen teacher; load converted weights when ``ckpt_path`` is
+    given (LDM .pt/.ckpt, diffusers dir, or converted .msgpack — the
+    reference's {mv,rd,sd}_ckpt_path config keys,
+    configs/TriplaneTurbo_v1.yaml:159,168,178)."""
     from dataclasses import replace as dc_replace
 
     sizes = dict(sizes or {})
@@ -98,6 +105,16 @@ def build_teacher(
                 jax.random.fold_in(key, 7)
             )
         )
+    if ckpt_path:
+        from ..utils.checkpoint import load_teacher_params
+
+        uparams, vparams = load_teacher_params(
+            ckpt_path,
+            uparams,
+            vparams,
+            n_blocks=len(ucfg.block_out_channels),
+            layers_per_block=ucfg.layers_per_block,
+        )
     return TeacherBundle(unet, uparams, vae, vparams)
 
 
@@ -124,6 +141,16 @@ def build_system(cfg: Dict[str, Any], seed: int = 0) -> TriplaneTurboTrainer:
     geo_params = jax.jit(
         lambda k: geometry.init(k, noisy, text, jnp.zeros(()), pts, method=geometry.init_all)
     )(ks[0])
+    # reference `system.weights=<path>` (threestudio/systems/base.py:52-62):
+    # module weights without optimizer state — adapter .pth or native msgpack
+    weights = sys_cfg.get("weights")
+    if weights:
+        from ..utils.checkpoint import load_params, load_torch_adapter
+
+        if str(weights).endswith(".pth"):
+            geo_params = load_torch_adapter(str(weights), geo_params)
+        else:
+            geo_params = load_params(str(weights), geo_params)
 
     # -- background -----------------------------------------------------------
     bg_d = _sub(sys_cfg, "background")
@@ -157,11 +184,16 @@ def build_system(cfg: Dict[str, Any], seed: int = 0) -> TriplaneTurboTrainer:
     # -- teachers + guidance ----------------------------------------------------
     teacher_sizes = _sub(sys_cfg, "teacher_sizes")  # tests shrink these
     dtype_str = sys_cfg.get("teacher_dtype", "bfloat16")
+    guidance_d = _sub(sys_cfg, "guidance")
+    # reference config keys {mv,rd,sd}_ckpt_path (TriplaneTurbo_v1.yaml:159,168,178)
+    ckpt_paths = {k: guidance_d.pop(f"{k}_ckpt_path", None) for k in ("mv", "rd", "sd")}
+    for k in ("mv", "rd", "sd"):
+        guidance_d.pop(f"{k}_model_name_or_path", None)
     guidance = ASDGuidance(
-        parse_structured(ASDConfig, _sub(sys_cfg, "guidance")),
-        mv=build_teacher("mv", ks[3], teacher_sizes.get("mv"), dtype_str),
-        rd=build_teacher("rd", ks[4], teacher_sizes.get("rd"), dtype_str),
-        sd=build_teacher("sd", ks[5], teacher_sizes.get("sd"), dtype_str),
+        parse_structured(ASDConfig, guidance_d),
+        mv=build_teacher("mv", ks[3], teacher_sizes.get("mv"), dtype_str, ckpt_paths["mv"]),
+        rd=build_teacher("rd", ks[4], teacher_sizes.get("rd"), dtype_str, ckpt_paths["rd"]),
+        sd=build_teacher("sd", ks[5], teacher_sizes.get("sd"), dtype_str, ckpt_paths["sd"]),
     )
 
     trainer_cfg = parse_structured(TrainerConfig, sys_cfg)

@@ -39,6 +39,25 @@ from ..utils.schedule import C
 from .optimizers import adan
 
 
+def split_params(params, mask):
+    """Partition a param tree into (train, frozen) by a boolean mask tree
+    (equinox-style partition): gradients are computed ONLY for the train
+    part, so the frozen SD backbone never materializes ~3.5 GB of f32 grad
+    buffers the optimizer would zero anyway."""
+    train = jax.tree_util.tree_map(lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree_util.tree_map(lambda p, m: None if m else p, params, mask)
+    return train, frozen
+
+
+def combine_params(train, frozen):
+    return jax.tree_util.tree_map(
+        lambda a, b: b if a is None else a,
+        train,
+        frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
 def sample_timesteps(
     all_timesteps: np.ndarray, num_parts: int, rng: np.random.RandomState
 ) -> np.ndarray:
@@ -78,6 +97,16 @@ class TrainerConfig:
     gradient_accumulation_steps: int = 1
     prediction_type: str = "epsilon"
     parallel_guidance: bool = False
+    # the reference v1 recipe's auto_grad (configs/TriplaneTurbo_v1.yaml:198;
+    # guidance :702-755): precompute image-space guidance gradients with the
+    # teachers, re-inject via the SpecifyGradient trick. Here it additionally
+    # splits the step into three jit programs (student render / teacher
+    # ensemble / student backward) so no single compile unit holds all four
+    # diffusion models — the only form the tunneled dev TPU's memory-capped
+    # remote compiler accepts at full model size. Costs one extra student
+    # forward per denoise part; gradients are mathematically identical
+    # (chain rule), tested in tests/test_trainer_staged.py.
+    auto_grad: bool = False
     n_view: int = 4
     rasterize_hw: int = 512
     learning_rate: float = 2e-4
@@ -150,24 +179,29 @@ class TriplaneTurboTrainer:
                 lambda p, m: p if m or p.dtype != jnp.float32 else p.astype(jnp.bfloat16),
                 self.params["geometry"], self.train_mask["geometry"],
             )
-        labels = jax.tree_util.tree_map(
-            lambda m: "train" if m else "freeze", self.train_mask
-        )
-        tx = optax.multi_transform(
-            {
-                "train": adan(cfg.learning_rate, cfg.adan_betas, cfg.adan_eps),
-                "freeze": optax.set_to_zero(),
-            },
-            labels,
-        )
+        # the optimizer sees ONLY the trainable partition (reference: Adan on
+        # peft_layers + field MLPs + background + variance); frozen leaves
+        # are never differentiated (split_params) — saves the full-size
+        # backbone's gradient buffers in HBM
+        tx = adan(cfg.learning_rate, cfg.adan_betas, cfg.adan_eps)
         if cfg.gradient_accumulation_steps > 1:
             tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
         self.tx = tx
-        self.opt_state = tx.init(self.params)
-        # donate params + optimizer state: both are immediately replaced on
-        # the host, and without donation XLA keeps a second full copy of the
-        # trainables + all Adan moments live across the step (pure HBM waste)
-        self._train_step_jit = jax.jit(self._train_step, donate_argnums=(0, 1))
+        train0, _ = split_params(self.params, self.train_mask)
+        self.opt_state = tx.init(train0)
+        # donate trainable params + optimizer state: both are immediately
+        # replaced on the host, and without donation XLA keeps a second full
+        # copy of the trainables + all Adan moments live across the step.
+        # The frozen partition (arg 1) is reused every step — never donated.
+        self._train_step_jit = jax.jit(self._train_step, donate_argnums=(0, 2))
+        # staged (auto_grad) programs — lazily compiled, free to define
+        self._stage_render_jit = jax.jit(self._stage_render)
+        self._stage_teacher_jit = jax.jit(self._stage_teacher)
+        self._stage_student_jit = jax.jit(self._stage_student)
+        self._stage_update_jit = jax.jit(self._stage_update, donate_argnums=(0, 1))
+        self._acc_jit = jax.jit(
+            lambda a, b: jax.tree_util.tree_map(jnp.add, a, b), donate_argnums=(0,)
+        )
 
         # fixed training timesteps: shifted 4-step schedule (:393-402)
         self.all_timesteps = ddim_timesteps(schedule, cfg.num_steps_training)
@@ -386,10 +420,11 @@ class TriplaneTurboTrainer:
 
     # ------------------------------------------------------------------
 
-    def _loss_fn(self, params, batch_list, timesteps, text_embeds, scalars, key, teacher_params):
+    def _loss_fn(self, params_train, params_frozen, batch_list, timesteps, text_embeds, scalars, key, teacher_params):
         """The 4-iteration denoise loop as ONE lax.scan: the (large) loop body
         compiles once instead of num_parts times (reference unrolls in Python,
-        systems/...py:409-539)."""
+        systems/...py:409-539). Differentiated w.r.t. params_train only."""
+        params = combine_params(params_train, params_frozen)
         cfg = self.cfg
         latent0 = batch_list[0]["noise"]
         # stack the per-step camera batches into scan inputs
@@ -436,13 +471,147 @@ class TriplaneTurboTrainer:
             metrics[f"regularization_{i}"] = regus[i]
         return total, metrics
 
-    def _train_step(self, params, opt_state, batch_list, timesteps, text_embeds, scalars, key, teacher_params):
+    def _train_step(self, params_train, params_frozen, opt_state, batch_list, timesteps, text_embeds, scalars, key, teacher_params):
         (loss, metrics), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-            params, batch_list, timesteps, text_embeds, scalars, key, teacher_params
+            params_train, params_frozen, batch_list, timesteps, text_embeds, scalars, key, teacher_params
         )
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
+        updates, opt_state = self.tx.update(grads, opt_state, params_train)
+        params_train = optax.apply_updates(params_train, updates)
+        return params_train, opt_state, metrics
+
+    # ------------------------------------------------------------------
+    # staged (auto_grad) step: three jit programs per denoise part
+    # (reference guidance :702-755 SpecifyGradient path; see TrainerConfig)
+    # ------------------------------------------------------------------
+
+    _GUIDANCE_IMAGE_KEYS = ("comp_rgb", "comp_normal_cam_vis", "disparity")
+
+    def _student_forward(self, params, batch, latent, t, text_embeds, scalars, k):
+        """Shared fwd of the render stage: noise -> denoise -> decode ->
+        dual render. Deterministic given k (k_noise/k_render re-derived)."""
+        k_noise, k_render, _ = jax.random.split(k, 3)
+        noise = jax.random.normal(k_noise, latent.shape)
+        noisy = add_noise(self.schedule, latent, noise, t)
+        eps = self.geometry.apply(
+            params["geometry"], noisy, text_embeds["cond_local"], t,
+            method=self.geometry.denoise,
+        )
+        denoised = pred_original(self.schedule, eps, t, noisy)
+        space_cache = self.geometry.apply(
+            params["geometry"], denoised, method=self.geometry.decode
+        )
+        out_1st, out_2nd = self._render_both(
+            params, batch, space_cache, scalars, k_render, text_embeds["global_21"]
+        )
+        return denoised, out_1st, out_2nd
+
+    def _stage_render(self, params, batch, latent, t, text_embeds, scalars, k):
+        """Program R: student fwd only; emits the guidance input images."""
+        denoised, out_1st, out_2nd = self._student_forward(
+            params, batch, latent, t, text_embeds, scalars, k
+        )
+        images = {
+            f"{name}_{side}": out[name]
+            for side, out in (("1st", out_1st), ("2nd", out_2nd))
+            for name in self._GUIDANCE_IMAGE_KEYS
+        }
+        return jax.lax.stop_gradient(denoised), jax.lax.stop_gradient(images)
+
+    def _stage_teacher(self, teacher_params, images, batch, text_embeds, scalars, k):
+        """Program G: teacher ensemble -> (fid value, d(fid)/d(images)).
+
+        Contains the 3 teacher UNets (+ VAE encoders) and differentiates only
+        w.r.t. the input images — the auto_grad precompute."""
+        _, _, k_guid = jax.random.split(k, 3)
+
+        def fid_fn(imgs):
+            o1 = {name: imgs[f"{name}_1st"] for name in self._GUIDANCE_IMAGE_KEYS}
+            o2 = {name: imgs[f"{name}_2nd"] for name in self._GUIDANCE_IMAGE_KEYS}
+            fid, _ = self._guidance_losses(
+                k_guid, o1, o2, batch, text_embeds, scalars, teacher_params
+            )
+            return fid
+
+        return jax.value_and_grad(fid_fn)(images)
+
+    def _stage_student(self, params_train, params_frozen, batch, latent, t, text_embeds, scalars, grad_images, k):
+        """Program B: student fwd + bwd with the injected image gradients
+        (SpecifyGradient: loss = sum(sg(g) * img) has d/d(img) = g) plus the
+        regularizers. No teacher enters this compile unit; only the trainable
+        partition is differentiated."""
+
+        def loss_fn(pt):
+            p = combine_params(pt, params_frozen)
+            _, out_1st, out_2nd = self._student_forward(
+                p, batch, latent, t, text_embeds, scalars, k
+            )
+            fid_proxy = 0.0
+            for side, out in (("1st", out_1st), ("2nd", out_2nd)):
+                for name in self._GUIDANCE_IMAGE_KEYS:
+                    g = jax.lax.stop_gradient(grad_images[f"{name}_{side}"])
+                    fid_proxy = fid_proxy + (g * out[name]).sum()
+            regu = self._regularizers(out_1st, out_2nd, scalars)
+            return fid_proxy + regu, regu
+
+        (_, regu), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_train)
+        return grads, regu
+
+    def _stage_update(self, params_train, opt_state, grads):
+        grads = jax.tree_util.tree_map(
+            lambda g: g / self.cfg.num_parts_training, grads
+        )
+        updates, opt_state = self.tx.update(grads, opt_state, params_train)
+        params_train = optax.apply_updates(params_train, updates)
+        return params_train, opt_state
+
+    def _train_step_staged(self, batch_list, timesteps, text_embeds, scalars, key):
+        """Host loop over denoise parts, 3 jit dispatches per part + 1 update.
+
+        vs the monolithic scan: +1 student forward per part (programs R and B
+        each run the fwd; XLA residual sharing cannot cross jit boundaries),
+        in exchange for per-program compile memory a quarter the size — the
+        full-size (SD-2.1 + 3 teachers) step only compiles this way on the
+        tunneled dev TPU. Gradients are identical by the chain rule."""
+        cfg = self.cfg
+        keys = jax.random.split(key, cfg.num_parts_training)
+        latent = batch_list[0]["noise"]
+        teacher_params = self.guidance.teacher_params()
+        params_train, params_frozen = split_params(self.params, self.train_mask)
+
+        grads_acc = None
+        fids, regus = [], []
+        for i in range(cfg.num_parts_training):
+            batch = {k_: v for k_, v in batch_list[i].items() if k_ != "noise"}
+            t = timesteps[i]
+            latent_in = latent
+            latent, images = self._stage_render_jit(
+                self.params, batch, latent_in, t, text_embeds, scalars, keys[i]
+            )
+            fid, grad_images = self._stage_teacher_jit(
+                teacher_params, images, batch, text_embeds, scalars, keys[i]
+            )
+            grads, regu = self._stage_student_jit(
+                params_train, params_frozen, batch, latent_in, t,
+                text_embeds, scalars, grad_images, keys[i],
+            )
+            grads_acc = grads if grads_acc is None else self._acc_jit(grads_acc, grads)
+            fids.append(fid)
+            regus.append(regu)
+        params_train, self.opt_state = self._stage_update_jit(
+            params_train, self.opt_state, grads_acc
+        )
+        self.params = combine_params(params_train, params_frozen)
+        fids = jnp.stack(fids)
+        regus = jnp.stack(regus)
+        metrics = {
+            "loss": (fids.sum() + regus.sum()) / cfg.num_parts_training,
+            "fidelity": fids.mean(),
+            "regularization": regus.mean(),
+        }
+        for i in range(cfg.num_parts_training):
+            metrics[f"fidelity_{i}"] = fids[i]
+            metrics[f"regularization_{i}"] = regus[i]
+        return metrics
 
     # ------------------------------------------------------------------
     # validation / test (turntable rendering, reference :546-933)
@@ -552,10 +721,17 @@ class TriplaneTurboTrainer:
             {k: jnp.asarray(v) for k, v in b.items() if not isinstance(v, (list, str))}
             for b in batch_list
         ]
-        self.params, self.opt_state, metrics = self._train_step_jit(
-            self.params, self.opt_state, batch_list,
-            jnp.asarray(ts, jnp.int32), text_embeds, scalars, key,
-            self.guidance.teacher_params(),
-        )
+        if self.cfg.auto_grad:
+            metrics = self._train_step_staged(
+                batch_list, jnp.asarray(ts, jnp.int32), text_embeds, scalars, key
+            )
+        else:
+            params_train, params_frozen = split_params(self.params, self.train_mask)
+            params_train, self.opt_state, metrics = self._train_step_jit(
+                params_train, params_frozen, self.opt_state, batch_list,
+                jnp.asarray(ts, jnp.int32), text_embeds, scalars, key,
+                self.guidance.teacher_params(),
+            )
+            self.params = combine_params(params_train, params_frozen)
         self.global_step += 1
         return metrics

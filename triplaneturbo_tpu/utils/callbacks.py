@@ -31,6 +31,9 @@ def snapshot_code(trial_dir: str, repo_root: Optional[str] = None) -> Optional[s
     except Exception:
         return None
     for rel in files:
+        # never snapshot prior trial dirs or caches (recursive-nesting guard)
+        if rel.startswith(("outputs/", ".jax_cache/", ".cache/")):
+            continue
         src = os.path.join(repo_root, rel)
         if not os.path.isfile(src):
             continue

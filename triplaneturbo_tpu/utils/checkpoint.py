@@ -73,54 +73,115 @@ def load_train_state(path: str, params_template: Any, opt_state_template: Any):
     return restored["params"], restored["opt_state"], int(restored["step"])
 
 
-def load_torch_adapter(path: str, geometry_params) -> Any:
+def load_torch_adapter(path: str, geometry_params, strict: bool = False) -> Any:
     """Convert the released torch adapter checkpoint onto our param tree.
 
-    Handles the directly-mappable pieces (field MLPs, conv_out retrofit);
-    adapter tensors whose reference layout (six separate modules) differs from
-    our stacked plane-axis layout are stacked on the fly.
+    Delegates the key mapping to :func:`~.convert_torch.convert_adapters`
+    (hexa-LoRA stacking, vanilla LoRA, LoCon convs, conv_out retrofit, field
+    MLPs — the full ``triplane_turbo_sd_v1.pth`` surface, reference loader
+    triplaneturbo_text_to_3d.py:166-177). With ``strict`` every converted
+    tensor must land on the tree; otherwise mismatches are reported.
     """
+    import torch
+
+    from .convert_torch import apply_flat_to_tree, convert_adapters
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt.get("state_dict", ckpt)
+    state = {
+        k.replace("geometry.", "", 1): np.asarray(v.detach().cpu().float().numpy())
+        if hasattr(v, "detach")
+        else np.asarray(v)
+        for k, v in state.items()
+    }
+
+    converted = convert_adapters(state)
+    new_params, loaded, mismatched = apply_flat_to_tree(converted, geometry_params)
+    ttt.info(
+        f"torch adapter conversion: {len(loaded)} tensors loaded, "
+        f"{len(mismatched)} unmatched"
+    )
+    if mismatched:
+        for m in mismatched[:20]:
+            ttt.warn(f"  adapter mismatch: {m}")
+        if strict:
+            raise ValueError(
+                f"strict adapter load failed: {len(mismatched)} mismatches"
+            )
+    return new_params
+
+
+def _torch_state_numpy(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt.get("state_dict", ckpt)
-    state = {k.replace("geometry.", "", 1): v for k, v in state.items()}
-
-    import jax.numpy as jnp
-    from flax.traverse_util import flatten_dict, unflatten_dict
-
-    flat = flatten_dict(geometry_params["params"], sep="/")
-    loaded, missed = 0, []
-
-    def put(fk: str, arr: np.ndarray):
-        nonlocal loaded
-        if fk in flat and tuple(flat[fk].shape) == tuple(arr.shape):
-            flat[fk] = jnp.asarray(arr)
-            loaded += 1
-        else:
-            missed.append(fk)
-
-    # field MLPs: torch Linear weight [out,in] -> flax kernel [in,out]
-    mlp_map = {
-        "sdf_network": "field/sdf_network",
-        "feature_network": "field/feature_network",
-        "deformation_network": "field/deformation_network",
+    return {
+        k: np.asarray(v.detach().cpu().float().numpy()) if hasattr(v, "detach") else np.asarray(v)
+        for k, v in state.items()
     }
-    for tname, fname in mlp_map.items():
-        for i in range(8):
-            k = f"{tname}.layers.{2*i}.weight"  # Sequential: Linear at even idx
-            if k in state:
-                put(f"{fname}/Dense_{i}/kernel", state[k].numpy().T)
 
-    # VAE conv_out retrofit: torch conv [out,in,kh,kw] -> flax [kh,kw,in,out]
-    for k, v in state.items():
-        if "conv_out" in k and k.endswith("weight") and v.ndim == 4:
-            put(
-                "space_generator/vae/decoder/conv_out_retrofit/kernel",
-                v.numpy().transpose(2, 3, 1, 0),
-            )
-        elif "conv_out" in k and k.endswith("bias"):
-            put("space_generator/vae/decoder/conv_out_retrofit/bias", v.numpy())
 
-    ttt.info(f"torch adapter conversion: {loaded} tensors loaded, {len(missed)} unmatched")
-    return {"params": unflatten_dict(flat, sep="/")}
+def load_teacher_params(
+    path: str,
+    unet_params: Any,
+    vae_params: Optional[Any] = None,
+    n_blocks: int = 4,
+    layers_per_block: int = 2,
+    strict: bool = False,
+) -> Tuple[Any, Optional[Any]]:
+    """Load teacher weights from any of the reference's checkpoint layouts.
+
+    * ``*.msgpack``: our native serialized ``{"unet": ..., "vae": ...}`` pair
+      (output of tools/convert_checkpoints.py);
+    * ``*.pt`` / ``*.ckpt`` with ``model.diffusion_model.*`` keys: LDM layout
+      (MVDream ``sd-v2.1-base-4view.pt``, RichDreamer ``nd_mv_ema.ckpt``
+      incl. EMA shadows — extern/{mvdream,nd_sd}/model_zoo.py);
+    * a diffusers directory (``unet/diffusion_pytorch_model.bin`` +
+      ``vae/diffusion_pytorch_model.bin``): the SD-2.1 teacher.
+    """
+    from flax import serialization
+
+    from .convert_torch import (
+        apply_flat_to_tree,
+        convert_ldm_teacher,
+        convert_unet,
+        convert_vae,
+    )
+
+    def apply(flat, params, what):
+        if not flat or params is None:
+            return params
+        new, loaded, mismatched = apply_flat_to_tree(flat, params)
+        ttt.info(f"teacher {what}: {len(loaded)} tensors loaded, {len(mismatched)} unmatched")
+        if mismatched and strict:
+            raise ValueError(f"strict teacher load failed ({what}): {mismatched[:10]}")
+        return new
+
+    if path.endswith(".msgpack"):
+        template = {"unet": unet_params, "vae": vae_params if vae_params is not None else {}}
+        with open(path, "rb") as f:
+            restored = serialization.from_bytes(template, f.read())
+        return restored["unet"], (restored["vae"] if vae_params is not None else None)
+
+    if os.path.isdir(path):  # diffusers layout (SD-2.1 teacher)
+        unet_bin = os.path.join(path, "unet", "diffusion_pytorch_model.bin")
+        vae_bin = os.path.join(path, "vae", "diffusion_pytorch_model.bin")
+        if os.path.exists(unet_bin):
+            flat = convert_unet(_torch_state_numpy(unet_bin), n_blocks, layers_per_block)
+            unet_params = apply(flat, unet_params, "unet")
+        if vae_params is not None and os.path.exists(vae_bin):
+            flat = convert_vae(_torch_state_numpy(vae_bin), n_blocks, layers_per_block)
+            vae_params = apply(flat, vae_params, "vae")
+        return unet_params, vae_params
+
+    state = _torch_state_numpy(path)
+    if any(k.startswith("model.diffusion_model.") for k in state):
+        out = convert_ldm_teacher(state, n_blocks, layers_per_block)
+        unet_params = apply(out["unet"], unet_params, "unet")
+        vae_params = apply(out["vae"], vae_params, "vae")
+        return unet_params, vae_params
+
+    # bare diffusers UNet state dict
+    flat = convert_unet(state, n_blocks, layers_per_block)
+    return apply(flat, unet_params, "unet"), vae_params
