@@ -38,10 +38,11 @@ def main() -> None:
     args = parser.parse_args()
 
     if args.typecheck:
-        # must run before the first `import triplaneturbo_tpu`
+        # must run before the first `import triplaneturbo_tpu`; the checker
+        # lives in typecheck_hook.py (typeguard 2.x + py3.12 workaround)
         from jaxtyping import install_import_hook
 
-        install_import_hook("triplaneturbo_tpu", "typeguard.typechecked")
+        install_import_hook("triplaneturbo_tpu", "typecheck_hook.typechecked")
 
     import jax
 

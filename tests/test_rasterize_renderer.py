@@ -84,3 +84,60 @@ def test_rasterize_renderer_forward_and_grad():
     g = jax.grad(loss)(cache)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_rasterize_renderer_field_chunk_equivalence():
+    """Chunked per-pixel feature eval (field_chunk) is a pure memory knob:
+    outputs and space-cache gradients match the fused evaluation."""
+    cfg = TriplaneFieldConfig(input_dim=8)
+    field = TriplaneField(cfg)
+    cache = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 16, 16, 8)) * 0.05
+    pts = jnp.zeros((1, 8, 3))
+    params = field.init(jax.random.PRNGKey(0), pts, cache, method=field.init_all)
+
+    B = 2
+    elev = jnp.asarray([0.3, 0.0])
+    azim = jnp.asarray([0.0, jnp.pi / 2])
+    dist = jnp.asarray([2.5, 2.5])
+    c2w = camera_to_world(elev, azim, dist)
+    fovy = jnp.full((B,), jnp.deg2rad(40.0))
+    mvp = get_mvp_matrix(c2w, get_projection_matrix(fovy, 1.0, 0.1, 100.0))
+    cam_pos = c2w[:, :3, 3]
+    dirs = get_ray_directions(32, 32, fovy)
+    _, rays_d = get_rays(dirs, c2w)
+
+    def run(chunk, cache_in):
+        renderer = GenerativeSpaceMeshRasterizeRenderer(
+            RasterizeRendererConfig(
+                isosurface_resolution=24, max_verts=8192, max_faces=16384,
+                field_chunk=chunk, tile=16, faces_per_tile=256,
+            )
+        )
+
+        def forward_field(p, sc):
+            return field.apply(params, p, sc, method=field.forward_field)
+
+        def export_fn(p, sc):
+            return field.apply(params, p, sc, method=field.export)["features"]
+
+        return renderer(
+            mvp, cam_pos, cache_in, forward_field, export_fn,
+            material_fn=get_activation("sigmoid-mipnerf"),
+            background_fn=lambda d, te: jnp.ones(d.shape[:-1] + (3,)),
+            height=32, width=32, rays_d_rasterize=rays_d,
+            camera_distances=dist, c2w=c2w,
+        )
+
+    # 2 views x 32x32 = 2048 pts; chunk 300 exercises pad + 7 chunks
+    out_full = run(4096, cache)
+    out_chunk = run(300, cache)
+    for k in ("comp_rgb", "opacity", "comp_normal"):
+        np.testing.assert_allclose(
+            np.asarray(out_full[k]), np.asarray(out_chunk[k]), atol=1e-5, err_msg=k
+        )
+
+    g_full = jax.grad(lambda c_: (run(4096, c_)["comp_rgb"] ** 2).sum())(cache)
+    g_chunk = jax.grad(lambda c_: (run(300, c_)["comp_rgb"] ** 2).sum())(cache)
+    np.testing.assert_allclose(
+        np.asarray(g_full), np.asarray(g_chunk), rtol=1e-4, atol=1e-6
+    )

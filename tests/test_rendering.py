@@ -159,3 +159,48 @@ def test_hashgrid_encoding():
     # continuity: nearby points give nearby encodings
     d = enc.apply(params, x + 1e-5) - out
     assert float(jnp.abs(d).max()) < 1e-3
+
+
+def test_volume_renderer_field_chunk_equivalence():
+    """field_chunk (lax.map + per-chunk remat over ray samples) must be a pure
+    memory knob: outputs and gradients identical to the fused evaluation."""
+    (ro, rd), c2w, dists = make_rays()
+    cfg0 = VolumeRendererConfig(
+        num_samples_per_ray=16, num_samples_per_ray_importance=8, randomized=False
+    )
+    cfg1 = VolumeRendererConfig(
+        num_samples_per_ray=16, num_samples_per_ray_importance=8, randomized=False,
+        field_chunk=100,  # H*W*S = 1024 samples/view -> 11 chunks incl. pad
+    )
+    r0 = GenerativeSpaceSDFVolumeRenderer(cfg0)
+    r1 = GenerativeSpaceSDFVolumeRenderer(cfg1)
+    params = r0.init(
+        jax.random.PRNGKey(0), ro, rd, _sphere_field(), _white_bg,
+        camera_distances=dists, c2w=c2w, train=False,
+    )
+
+    def render(r, shift):
+        def field(pts, with_normal=True):
+            out = _sphere_field()(pts + shift, with_normal)
+            return out
+        return r.apply(
+            params, ro, rd, field, _white_bg,
+            camera_distances=dists, c2w=c2w, train=True, key=jax.random.PRNGKey(1),
+        )
+
+    out0 = render(r0, jnp.zeros(3))
+    out1 = render(r1, jnp.zeros(3))
+    for k in ("comp_rgb", "opacity", "depth", "comp_normal"):
+        np.testing.assert_allclose(
+            np.asarray(out0[k]), np.asarray(out1[k]), atol=1e-5, err_msg=k
+        )
+
+    # gradient equivalence through the chunked remat
+    def loss(shift, r):
+        return render(r, shift)["comp_rgb"].sum()
+
+    g0 = jax.grad(loss)(jnp.zeros(3), r0)
+    g1 = jax.grad(loss)(jnp.zeros(3), r1)
+    # atol scaled to the gradient magnitude (~2e2): the y/z components are a
+    # symmetric zero realized as accumulation-order noise
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=5e-4)

@@ -107,7 +107,7 @@ def create_camera_from_angle(
     relative_radius: bool = True,
     phase: str = "train",
     rng: Optional[np.random.RandomState] = None,
-) -> Dict[str, np.ndarray]:
+) -> Dict[str, Any]:  # arrays + python-int height/width
     """Numpy port of _create_camera_from_angle (:251-360)."""
     B = elevation_deg.shape[0]
     fovy = np.deg2rad(fovy_deg)

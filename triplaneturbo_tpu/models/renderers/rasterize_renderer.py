@@ -221,9 +221,27 @@ class GenerativeSpaceMeshRasterizeRenderer:
                 out["comp_normal_cam_vis_white"] = n_cam01 * mask + bg_w * (1 - mask)
 
             if render_rgb:
-                feats = export_fn(
-                    gb_pos.reshape(1, -1, 3), space_cache[i : i + 1]
-                ).reshape(nv_per, height, width, -1)
+                pts = gb_pos.reshape(1, -1, 3)
+                n_pts = pts.shape[1]
+                cache_i = space_cache[i : i + 1]
+                if cfg.field_chunk and n_pts > cfg.field_chunk:
+                    # chunked + rematted per-pixel feature eval: bounds the
+                    # backward-pass MLP temps to one chunk (same memory knob
+                    # as the grid eval above / volume renderer field_chunk)
+                    ch = cfg.field_chunk
+                    n_ch = (n_pts + ch - 1) // ch
+                    pad = n_ch * ch - n_pts
+                    pts_c = jnp.moveaxis(
+                        jnp.pad(pts, ((0, 0), (0, pad), (0, 0))).reshape(1, n_ch, ch, 3),
+                        1, 0,
+                    )
+                    feats = jax.lax.map(
+                        jax.checkpoint(lambda p: export_fn(p, cache_i)), pts_c
+                    )
+                    feats = jnp.moveaxis(feats, 0, 1).reshape(1, n_ch * ch, -1)[:, :n_pts]
+                else:
+                    feats = export_fn(pts, cache_i)
+                feats = feats.reshape(nv_per, height, width, -1)
                 rgb_fg = material_fn(feats)
                 if rays_d_rasterize is not None and cfg.enable_bg_rays:
                     view_dirs = rays_d_rasterize[sl]

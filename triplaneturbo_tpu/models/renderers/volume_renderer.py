@@ -49,6 +49,12 @@ class VolumeRendererConfig:
     rgb_grad_shrink: float = 1.0
     normal_direction: str = "camera"  # "camera" | "world" | "front"
     randomized: bool = True
+    # > 0: evaluate the field over ray samples in chunks of this many samples
+    # per view (lax.map + per-chunk remat). Bounds the backward-pass temps to
+    # one chunk's MLP activations instead of all H*W*S samples — the
+    # difference between fitting and OOM for the full-size training step on a
+    # 16 GB v5e chip. 0 = single fused call (small/test configs).
+    field_chunk: int = 0
 
 
 @ttt.register("generative-space-sdf-volume-renderer")
@@ -123,7 +129,31 @@ class GenerativeSpaceSDFVolumeRenderer(nn.Module):
         t_intervals = (t_ends - t_starts)[..., None]
         positions = ro[:, None, :] + rd[:, None, :] * t_mid[..., None]
 
-        geo = field_fn(positions.reshape(B, -1, 3), True)
+        pts = positions.reshape(B, -1, 3)
+        M = pts.shape[1]
+        if cfg.field_chunk and M > cfg.field_chunk:
+            chunk = cfg.field_chunk
+            n_chunks = (M + chunk - 1) // chunk
+            pad = n_chunks * chunk - M
+            pts_c = jnp.moveaxis(
+                jnp.pad(pts, ((0, 0), (0, pad), (0, 0))).reshape(B, n_chunks, chunk, 3),
+                1, 0,
+            )  # [n_chunks, B, chunk, 3]
+
+            @jax.checkpoint
+            def eval_chunk(p):
+                o = field_fn(p, True)
+                return o["sdf"], o["normal"], o["features"]
+
+            sdf_c, nrm_c, feat_c = jax.lax.map(eval_chunk, pts_c)
+
+            def unchunk(x):
+                x = jnp.moveaxis(x, 0, 1).reshape(B, n_chunks * chunk, x.shape[-1])
+                return x[:, :M]
+
+            geo = {"sdf": unchunk(sdf_c), "normal": unchunk(nrm_c), "features": unchunk(feat_c)}
+        else:
+            geo = field_fn(pts, True)
         sdf = geo["sdf"].reshape(n_rays, S, 1)
         normal = geo["normal"].reshape(n_rays, S, 3)
         features = geo["features"].reshape(n_rays, S, -1)

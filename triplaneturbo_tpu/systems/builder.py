@@ -66,7 +66,9 @@ def build_teacher(
     configs/TriplaneTurbo_v1.yaml:159,168,178)."""
     from dataclasses import replace as dc_replace
 
-    sizes = dict(sizes or {})
+    sizes = {
+        k: tuple(v) if isinstance(v, list) else v for k, v in dict(sizes or {}).items()
+    }  # YAML sequences -> the tuple-annotated dataclass fields
     vae_sizes = {k[4:]: sizes.pop(k) for k in list(sizes) if k.startswith("vae_")}
     if kind == "mv":
         ucfg = mvdream_config(dtype_str)

@@ -246,6 +246,21 @@ def parse_structured(cls, cfg: Optional[Union[Dict, DotDict]] = None, strict: bo
     if unknown and strict:
         raise ValueError(f"Unknown config keys for {cls.__name__}: {sorted(unknown)}")
     kwargs = {k: v for k, v in cfg.items() if k in names}
+    # YAML sequences arrive as lists; coerce to tuple where the dataclass
+    # field is Tuple-annotated (keeps runtime types honest under the
+    # --typecheck jaxtyping/typeguard hook)
+    try:
+        import typing
+
+        hints = typing.get_type_hints(cls)
+    except Exception:
+        hints = {}
+    for k, v in list(kwargs.items()):
+        hint = hints.get(k)
+        if (typing.get_origin(hint) is tuple or hint is tuple) and isinstance(v, list):
+            kwargs[k] = tuple(v)
+        elif dataclasses.is_dataclass(hint) and isinstance(v, dict):
+            kwargs[k] = parse_structured(hint, v, strict=strict)
     return cls(**kwargs)
 
 
