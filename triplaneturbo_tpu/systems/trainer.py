@@ -198,6 +198,11 @@ class TriplaneTurboTrainer:
         self._stage_render_jit = jax.jit(self._stage_render)
         self._stage_teacher_jit = jax.jit(self._stage_teacher)
         self._stage_student_jit = jax.jit(self._stage_student)
+        import functools as _ft
+
+        self._stage_student_branch_jit = {
+            b: jax.jit(_ft.partial(self._stage_student, branch=b)) for b in ("1st", "2nd")
+        }
         self._stage_update_jit = jax.jit(self._stage_update, donate_argnums=(0, 1))
         self._acc_jit = jax.jit(
             lambda a, b: jax.tree_util.tree_map(jnp.add, a, b), donate_argnums=(0,)
@@ -240,6 +245,18 @@ class TriplaneTurboTrainer:
 
     def _render_both(self, params, batch, space_cache, scalars, key, text_global):
         """Dual-renderer forward (reference forward_rendering :195-227)."""
+        return self._render_branch(
+            params, batch, space_cache, scalars, key, text_global, "both"
+        )
+
+    def _render_branch(self, params, batch, space_cache, scalars, key, text_global, branch):
+        """Render "1st" (mesh rasterize), "2nd" (patch volume) or "both".
+
+        The branch split exists for the staged (auto_grad) step: running one
+        renderer per backward program halves the peak activation memory (the
+        isosurface/field-grid backward lives only in the 1st branch, the
+        ray-sample MLP temps only in the 2nd). Key derivation is shared so
+        1st/2nd render identically to "both" (gradient-equality tested)."""
         cfg = self.cfg
         Bsc = space_cache.shape[0]
 
@@ -262,19 +279,23 @@ class TriplaneTurboTrainer:
             )
 
         k1, k2 = jax.random.split(key)
-        H = batch["rays_d_rasterize"].shape[1]
-        out_1st = self.rasterize_renderer(
-            batch["mvp_mtx"], batch["camera_positions"], space_cache,
-            forward_field, export_fn, self.material_fn, background_fn,
-            H, H,
-            text_embed=text_global,
-            rays_d_rasterize=batch["rays_d_rasterize"],
-            camera_distances=batch["camera_distances"],
-            c2w=batch["c2w"],
-            sdf_grad_shrink=scalars["sdf_grad_shrink"],
-            def_grad_shrink=scalars["def_grad_shrink"],
-            forward_field_grid=forward_field_grid,
-        )
+        out_1st = None
+        if branch in ("1st", "both"):
+            H = batch["rays_d_rasterize"].shape[1]
+            out_1st = self.rasterize_renderer(
+                batch["mvp_mtx"], batch["camera_positions"], space_cache,
+                forward_field, export_fn, self.material_fn, background_fn,
+                H, H,
+                text_embed=text_global,
+                rays_d_rasterize=batch["rays_d_rasterize"],
+                camera_distances=batch["camera_distances"],
+                c2w=batch["c2w"],
+                sdf_grad_shrink=scalars["sdf_grad_shrink"],
+                def_grad_shrink=scalars["def_grad_shrink"],
+                forward_field_grid=forward_field_grid,
+            )
+        if branch == "1st":
+            return out_1st, None
 
         # 2nd renderer: patch-wrapped NeuS volume renderer. Points arrive
         # grouped per VIEW ([B, M, 3]); regroup per SPACE-CACHE item instead
@@ -321,8 +342,12 @@ class TriplaneTurboTrainer:
 
     def _regularizers(self, out_1st, out_2nd, scalars) -> jax.Array:
         """Active regularizer set (reference _compute_loss :594-788)."""
+        return self._regularizers_1st(out_1st, scalars) + self._regularizers_2nd(
+            out_2nd, scalars
+        )
+
+    def _regularizers_1st(self, out_1st, scalars) -> jax.Array:
         loss = 0.0
-        # 1st renderer
         op1 = out_1st["opacity"]
         loss += scalars["lambda_sparsity"] * jnp.sqrt(op1**2 + 0.01).mean()
         opc = jnp.clip(op1, 1e-3, 1 - 1e-3)
@@ -334,7 +359,10 @@ class TriplaneTurboTrainer:
             lap = jnp.stack([m.laplacian() for m in out_1st["mesh"]]).mean()
             loss += scalars["lambda_normal_consistency"] * nc
             loss += scalars["lambda_laplacian_smoothness"] * lap
-        # 2nd renderer
+        return loss
+
+    def _regularizers_2nd(self, out_2nd, scalars) -> jax.Array:
+        loss = 0.0
         op2 = out_2nd["opacity"]
         loss += scalars["lambda_sparsity_2nd"] * jnp.sqrt(op2**2 + 0.01).mean()
         opc2 = jnp.clip(op2, 1e-3, 1 - 1e-3)
@@ -486,9 +514,11 @@ class TriplaneTurboTrainer:
 
     _GUIDANCE_IMAGE_KEYS = ("comp_rgb", "comp_normal_cam_vis", "disparity")
 
-    def _student_forward(self, params, batch, latent, t, text_embeds, scalars, k):
+    def _student_forward(self, params, batch, latent, t, text_embeds, scalars, k, branch="both"):
         """Shared fwd of the render stage: noise -> denoise -> decode ->
-        dual render. Deterministic given k (k_noise/k_render re-derived)."""
+        render. Deterministic given k (k_noise/k_render re-derived), and the
+        per-renderer keys are derived identically for every ``branch`` value
+        so single-branch renders match the dual render exactly."""
         k_noise, k_render, _ = jax.random.split(k, 3)
         noise = jax.random.normal(k_noise, latent.shape)
         noisy = add_noise(self.schedule, latent, noise, t)
@@ -500,8 +530,8 @@ class TriplaneTurboTrainer:
         space_cache = self.geometry.apply(
             params["geometry"], denoised, method=self.geometry.decode
         )
-        out_1st, out_2nd = self._render_both(
-            params, batch, space_cache, scalars, k_render, text_embeds["global_21"]
+        out_1st, out_2nd = self._render_branch(
+            params, batch, space_cache, scalars, k_render, text_embeds["global_21"], branch
         )
         return denoised, out_1st, out_2nd
 
@@ -534,23 +564,35 @@ class TriplaneTurboTrainer:
 
         return jax.value_and_grad(fid_fn)(images)
 
-    def _stage_student(self, params_train, params_frozen, batch, latent, t, text_embeds, scalars, grad_images, k):
+    def _stage_student(self, params_train, params_frozen, batch, latent, t, text_embeds, scalars, grad_images, k, branch="both"):
         """Program B: student fwd + bwd with the injected image gradients
         (SpecifyGradient: loss = sum(sg(g) * img) has d/d(img) = g) plus the
         regularizers. No teacher enters this compile unit; only the trainable
-        partition is differentiated."""
+        partition is differentiated.
+
+        ``branch`` restricts the program to one renderer ("1st" mesh /
+        "2nd" volume): the loss is additive across branches, so running B1 +
+        B2 and summing grads equals the dual program — at roughly half the
+        peak activation memory each (the full-size step fits a 16 GB v5e
+        only this way; grad-equality locked by tests/test_trainer_staged.py)."""
+        sides = ("1st", "2nd") if branch == "both" else (branch,)
 
         def loss_fn(pt):
             p = combine_params(pt, params_frozen)
             _, out_1st, out_2nd = self._student_forward(
-                p, batch, latent, t, text_embeds, scalars, k
+                p, batch, latent, t, text_embeds, scalars, k, branch
             )
+            outs = {"1st": out_1st, "2nd": out_2nd}
             fid_proxy = 0.0
-            for side, out in (("1st", out_1st), ("2nd", out_2nd)):
+            for side in sides:
                 for name in self._GUIDANCE_IMAGE_KEYS:
                     g = jax.lax.stop_gradient(grad_images[f"{name}_{side}"])
-                    fid_proxy = fid_proxy + (g * out[name]).sum()
-            regu = self._regularizers(out_1st, out_2nd, scalars)
+                    fid_proxy = fid_proxy + (g * outs[side][name]).sum()
+            regu = 0.0
+            if "1st" in sides:
+                regu = regu + self._regularizers_1st(out_1st, scalars)
+            if "2nd" in sides:
+                regu = regu + self._regularizers_2nd(out_2nd, scalars)
             return fid_proxy + regu, regu
 
         (_, regu), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_train)
@@ -565,13 +607,15 @@ class TriplaneTurboTrainer:
         return params_train, opt_state
 
     def _train_step_staged(self, batch_list, timesteps, text_embeds, scalars, key):
-        """Host loop over denoise parts, 3 jit dispatches per part + 1 update.
+        """Host loop over denoise parts, 4 jit dispatches per part + 1 update
+        (render R, teacher G, per-branch backwards B1 + B2).
 
-        vs the monolithic scan: +1 student forward per part (programs R and B
+        vs the monolithic scan: extra student forwards per part (R, B1, B2
         each run the fwd; XLA residual sharing cannot cross jit boundaries),
-        in exchange for per-program compile memory a quarter the size — the
-        full-size (SD-2.1 + 3 teachers) step only compiles this way on the
-        tunneled dev TPU. Gradients are identical by the chain rule."""
+        in exchange for per-program compile and activation memory a fraction
+        of the fused step's — the full-size (SD-2.1 + 3 teachers) step only
+        compiles AND fits 16 GB HBM this way. Gradients are identical by the
+        chain rule / loss additivity."""
         cfg = self.cfg
         keys = jax.random.split(key, cfg.num_parts_training)
         latent = batch_list[0]["noise"]
@@ -590,10 +634,16 @@ class TriplaneTurboTrainer:
             fid, grad_images = self._stage_teacher_jit(
                 teacher_params, images, batch, text_embeds, scalars, keys[i]
             )
-            grads, regu = self._stage_student_jit(
+            grads, regu = self._stage_student_branch_jit["1st"](
                 params_train, params_frozen, batch, latent_in, t,
                 text_embeds, scalars, grad_images, keys[i],
             )
+            grads2, regu2 = self._stage_student_branch_jit["2nd"](
+                params_train, params_frozen, batch, latent_in, t,
+                text_embeds, scalars, grad_images, keys[i],
+            )
+            grads = self._acc_jit(grads, grads2)
+            regu = regu + regu2
             grads_acc = grads if grads_acc is None else self._acc_jit(grads_acc, grads)
             fids.append(fid)
             regus.append(regu)
