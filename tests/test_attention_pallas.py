@@ -52,18 +52,49 @@ def test_fused_vjp_matches_einsum_grads():
     v = jax.random.normal(jax.random.fold_in(key, 2), (1, 128, 64))
 
     def loss_fused(q_, k_, v_):
-        with pltpu.force_tpu_interpret_mode():
-            return (ap.fused_attention(q_, k_, v_) ** 2).sum()
+        return (ap.fused_attention(q_, k_, v_) ** 2).sum()
 
     def loss_ref(q_, k_, v_):
         s = jnp.einsum("bld,bkd->blk", q_, k_) / 8.0
         p = jax.nn.softmax(s, axis=-1)
         return (jnp.einsum("blk,bkd->bld", p, v_) ** 2).sum()
 
-    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    # the context must cover the backward too: it is a Pallas program as well
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
+def test_flash_backward_long_ragged_kv():
+    """Streaming flash backward parity at L > tiles and ragged lengths
+    (padded-key masking in the recomputed probability tiles; dk/dv of padded
+    keys must be zero; Lk != Lq exercises the cross-attention shape)."""
+    from jax.experimental.pallas import tpu as pltpu
+    import triplaneturbo_tpu.ops.attention_pallas as ap
+
+    key = jax.random.PRNGKey(7)
+    for Lq, Lk in [(700, 700), (300, 1200)]:
+        q = jax.random.normal(key, (2, Lq, 64))
+        k = jax.random.normal(jax.random.fold_in(key, 1), (2, Lk, 64))
+        v = jax.random.normal(jax.random.fold_in(key, 2), (2, Lk, 64))
+
+        def loss_fused(q_, k_, v_):
+            return (jnp.sin(ap.fused_attention(q_, k_, v_)) ** 2).sum()
+
+        def loss_ref(q_, k_, v_):
+            s = jnp.einsum("bld,bkd->blk", q_, k_) / 8.0
+            p = jax.nn.softmax(s, axis=-1)
+            return (jnp.sin(jnp.einsum("blk,bkd->bld", p, v_)) ** 2).sum()
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3
+            )
 
 
 def test_flash_streaming_matches_einsum_long_and_ragged():
