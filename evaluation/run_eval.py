@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("--views", type=int, default=4)
     ap.add_argument("--render-size", type=int, default=512)
     ap.add_argument("--save-obj", action="store_true")
+    ap.add_argument(
+        "--clip-ckpt",
+        default=None,
+        help="HF clip-vit-base-patch32 torch state dict (or converted "
+        "msgpack from tools/convert_checkpoints.py); random towers when "
+        "absent — scores are then only self-consistent, not comparable",
+    )
     args = ap.parse_args()
 
     import jax
@@ -66,7 +73,10 @@ def main() -> None:
     my_prompts = prompts[rank::world]
 
     pipe = TriplaneTurboTextTo3DPipeline.from_pretrained(args.weights, dtype_str="bfloat16")
-    scorer = CLIPScorer()
+    if args.clip_ckpt:
+        scorer = CLIPScorer.from_checkpoint(args.clip_ckpt)
+    else:
+        scorer = CLIPScorer()
     os.makedirs(args.out, exist_ok=True)
 
     images = {}

@@ -131,3 +131,36 @@ def test_kire_rig_silhouette_bbox():
     occupancy = np.asarray(views).sum(-1) < 2.999
     frac = occupancy.mean()
     assert 0.70 < frac < 0.90, f"unexpected framing, occupancy {frac:.3f}"
+
+
+def test_clip_scorer_msgpack_roundtrip(tmp_path):
+    """from_msgpack restores exactly the towers convert_checkpoints.py saves
+    (clip_scorer.msgpack layout: vision/text/text_projection)."""
+    from flax import serialization
+
+    from triplaneturbo_tpu.evaluation.clipscore import CLIPScorer
+
+    src = CLIPScorer(seed=7)
+    path = tmp_path / "clip_scorer.msgpack"
+    with open(path, "wb") as f:
+        f.write(
+            serialization.to_bytes(
+                {
+                    "vision": src.vision_params,
+                    "text": src.text_params,
+                    "text_projection": jnp.asarray(src.text_projection),
+                }
+            )
+        )
+    dst = CLIPScorer.from_checkpoint(str(path), seed=0)  # different seed
+    img = jnp.linspace(0, 1, 2 * 32 * 32 * 3).reshape(2, 32, 32, 3)
+    np.testing.assert_allclose(
+        np.asarray(src.image_features(img)),
+        np.asarray(dst.image_features(img)),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(src.text_features(["a cat"])),
+        np.asarray(dst.text_features(["a cat"])),
+        atol=1e-6,
+    )

@@ -69,6 +69,37 @@ class CLIPScorer:
         )
 
     @classmethod
+    def from_msgpack(cls, path: str, seed: int = 0) -> "CLIPScorer":
+        """Load the towers from tools/convert_checkpoints.py's
+        clip_scorer.msgpack ({"vision", "text", "text_projection"})."""
+        from flax import serialization
+
+        scorer = cls(seed=seed)
+        template = {
+            "vision": scorer.vision_params,
+            "text": scorer.text_params,
+            "text_projection": jnp.asarray(scorer.text_projection),
+        }
+        with open(path, "rb") as f:
+            restored = serialization.from_bytes(template, f.read())
+        return cls(
+            vision=scorer.vision,
+            vision_params=restored["vision"],
+            text=scorer.text,
+            text_params=restored["text"],
+            text_projection=jnp.asarray(restored["text_projection"]),
+            tokenizer=scorer.tokenizer,
+            seed=seed,
+        )
+
+    @classmethod
+    def from_checkpoint(cls, path: str, seed: int = 0) -> "CLIPScorer":
+        """Dispatch by extension: .msgpack (converted) or torch state dict."""
+        if path.endswith(".msgpack"):
+            return cls.from_msgpack(path, seed=seed)
+        return cls.from_torch_checkpoint(path, seed=seed)
+
+    @classmethod
     def from_torch_checkpoint(cls, path: str, seed: int = 0) -> "CLIPScorer":
         """Build a scorer from an HF CLIPModel (ViT-B/32) torch checkpoint.
 
