@@ -71,3 +71,22 @@ def test_opt_state_remains_replicated_after_step(sharded_step):
         ref = np.asarray(leaf.addressable_shards[0].data)
         for s in leaf.addressable_shards[1:]:
             np.testing.assert_array_equal(np.asarray(s.data), ref)
+
+
+def test_staged_step_on_mesh():
+    """The v1 production combination — staged auto_grad step (4 jit programs
+    per part) under the data mesh: finite loss and replicas stay in lockstep
+    across the multi-program accumulation."""
+    mesh, trainer, batch_list, text_embeds, key = graft_entry.build_tiny_sharded_trainer(
+        N_DEV, auto_grad=True
+    )
+    with mesh:
+        metrics = trainer.train_step(batch_list, text_embeds, key)
+        jax.block_until_ready(metrics["loss"])
+    assert np.isfinite(float(metrics["loss"]))
+    flat, _ = jax.tree_util.tree_flatten(trainer.params)
+    for leaf in flat[:: max(1, len(flat) // 8)]:
+        shards = leaf.addressable_shards
+        ref = np.asarray(shards[0].data)
+        for s in shards[1:]:
+            np.testing.assert_array_equal(np.asarray(s.data), ref)
