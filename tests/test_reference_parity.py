@@ -159,3 +159,68 @@ def test_adan_matches_reference(ref_adan):
     np.testing.assert_allclose(
         np.asarray(params), wt.detach().numpy(), rtol=1e-4, atol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# Diffusion schedule (extern/mvdream/ldm/modules/diffusionmodules/util.py —
+# the reference's own LDM implementation; diffusers is not in this image, but
+# LDM "linear" == diffusers "scaled_linear" and the teachers register exactly
+# this schedule: interface.py:28-46, linear_start 0.00085, linear_end 0.0120)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_ldm_util():
+    return load_ref_module(
+        "extern/mvdream/ldm/modules/diffusionmodules/util.py", "ref_ldm_util"
+    )
+
+
+def test_schedule_betas_match_reference_ldm(ref_ldm_util):
+    from triplaneturbo_tpu.models.schedulers import SchedulerConfig, make_schedule
+
+    sched = make_schedule(SchedulerConfig())
+    ref_betas = ref_ldm_util.make_beta_schedule(
+        "linear", 1000, linear_start=0.00085, linear_end=0.0120
+    )
+    np.testing.assert_allclose(np.asarray(sched.betas), ref_betas, rtol=1e-6)
+    ref_acp = np.cumprod(1.0 - ref_betas)
+    np.testing.assert_allclose(
+        np.asarray(sched.alphas_cumprod), ref_acp, rtol=2e-5
+    )
+
+
+def test_ddim_sampling_parameters_match_reference_ldm(ref_ldm_util):
+    """Our ddim_step's (alpha_t, alpha_prev, sigma) for a given timestep
+    selection must equal make_ddim_sampling_parameters (eta=0, the
+    deterministic sampler both the pipeline and training use)."""
+    from triplaneturbo_tpu.models.schedulers import (
+        SchedulerConfig,
+        ddim_step,
+        make_schedule,
+    )
+
+    sched = make_schedule(SchedulerConfig())
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+    ts = ref_ldm_util.make_ddim_timesteps("uniform", 50, 1000, verbose=False)
+    sigmas, alphas, alphas_prev = ref_ldm_util.make_ddim_sampling_parameters(
+        acp, np.clip(ts, 0, 999), eta=0.0, verbose=False
+    )
+    assert np.all(sigmas == 0.0)
+
+    # drive our ddim_step with a zero-eps model output from a known sample:
+    # x_prev = sqrt(a_prev) * x0_pred + sqrt(1 - a_prev) * eps. With eps = 0,
+    # x0_pred = x / sqrt(a_t) and x_prev = sqrt(a_prev / a_t) * x. The LDM
+    # uniform selection (range(0, 1000, 20) + 1) steps by exactly
+    # T // num_inference_steps, matching our prev_t arithmetic.
+    x = jnp.ones((1, 2, 2, 1))
+    for i in [1, 10, 49]:
+        t = int(np.clip(ts, 0, 999)[i])
+        out = ddim_step(
+            sched, jnp.zeros_like(x), jnp.asarray(t), x, num_inference_steps=50
+        )
+        expect = np.sqrt(alphas_prev[i] / alphas[i])
+        np.testing.assert_allclose(
+            np.asarray(out.prev_sample)[0, 0, 0, 0], expect, rtol=1e-4,
+            err_msg=f"i={i} t={t}",
+        )
