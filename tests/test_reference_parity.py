@@ -28,6 +28,8 @@ def load_ref_module(relpath: str, modname: str, stubs=None):
             mod = types.ModuleType(name)
             if name == "omegaconf":
                 mod.OmegaConf = type("OmegaConf", (), {})
+                mod.DictConfig = type("DictConfig", (), {})
+                mod.ListConfig = type("ListConfig", (), {})
             sys.modules[name] = mod
     spec = importlib.util.spec_from_file_location(modname, f"{REF}/{relpath}")
     m = importlib.util.module_from_spec(spec)
@@ -224,3 +226,91 @@ def test_ddim_sampling_parameters_match_reference_ldm(ref_ldm_util):
             np.asarray(out.prev_sample)[0, 0, 0, 0], expect, rtol=1e-4,
             err_msg=f"i={i} t={t}",
         )
+
+
+# ---------------------------------------------------------------------------
+# Camera math (threestudio/utils/ops.py:194-408) — the conventions every
+# renderer and the eval rig depend on
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_ops():
+    # ops.py imports igl + threestudio at module scope (used only inside
+    # functions we don't touch) — stub exactly the names it pulls in
+    if "igl" not in sys.modules:
+        igl = types.ModuleType("igl")
+        igl.fast_winding_number_for_meshes = lambda *a, **kw: None
+        igl.point_mesh_squared_distance = lambda *a, **kw: None
+        igl.read_obj = lambda *a, **kw: None
+        sys.modules["igl"] = igl
+    if "threestudio" not in sys.modules:
+        ts = types.ModuleType("threestudio")
+        ts.__path__ = []  # mark as package so submodule imports resolve
+        ts.info = ts.debug = ts.warn = lambda *a, **kw: None
+        sys.modules["threestudio"] = ts
+        utils = types.ModuleType("threestudio.utils")
+        utils.__path__ = []
+        sys.modules["threestudio.utils"] = utils
+        # the real typing module is standalone-importable (typing + jaxtyping
+        # + an omegaconf stub for DictConfig)
+        typing_mod = load_ref_module(
+            "threestudio/utils/typing.py", "threestudio.utils.typing",
+            stubs=["omegaconf"],
+        )
+        utils.typing = typing_mod
+        sys.modules["threestudio.utils.typing"] = typing_mod
+    return load_ref_module("threestudio/utils/ops.py", "ref_threestudio_ops")
+
+
+def test_projection_and_mvp_match_reference(ref_ops):
+    from triplaneturbo_tpu.utils.camera import (
+        camera_to_world,
+        get_mvp_matrix,
+        get_projection_matrix,
+    )
+
+    fovy = np.deg2rad(np.asarray([40.0, 49.1, 60.0], np.float32))
+    ref_proj = ref_ops.get_projection_matrix(
+        torch.from_numpy(fovy), 1.0, 0.1, 100.0
+    ).numpy()
+    ours_proj = np.asarray(get_projection_matrix(jnp.asarray(fovy), 1.0, 0.1, 100.0))
+    np.testing.assert_allclose(ours_proj, ref_proj, rtol=1e-6, atol=1e-6)
+
+    c2w = np.asarray(
+        camera_to_world(
+            jnp.asarray([0.2, -0.26, 0.0]),
+            jnp.asarray([0.0, 1.2, 3.0]),
+            jnp.asarray([2.5, 3.0, 2.0]),
+        )
+    )
+    ref_mvp = ref_ops.get_mvp_matrix(
+        torch.from_numpy(c2w), torch.from_numpy(ref_proj)
+    ).numpy()
+    ours_mvp = np.asarray(get_mvp_matrix(jnp.asarray(c2w), jnp.asarray(ours_proj)))
+    np.testing.assert_allclose(ours_mvp, ref_mvp, rtol=1e-4, atol=1e-5)
+
+
+def test_ray_directions_and_rays_match_reference(ref_ops):
+    from triplaneturbo_tpu.utils.camera import (
+        camera_to_world,
+        get_ray_directions,
+        get_rays,
+    )
+
+    H = W = 16
+    fovy = np.deg2rad(np.asarray([60.0], np.float32))
+    focal = 0.5 * H / np.tan(0.5 * fovy[0])
+    ref_dirs = ref_ops.get_ray_directions(H, W, float(focal)).numpy()
+    ours_dirs = np.asarray(get_ray_directions(H, W, jnp.asarray(fovy)))[0]
+    np.testing.assert_allclose(ours_dirs, ref_dirs, rtol=1e-5, atol=1e-6)
+
+    c2w = np.asarray(
+        camera_to_world(jnp.asarray([0.3]), jnp.asarray([0.7]), jnp.asarray([2.2]))
+    )
+    ref_o, ref_d = ref_ops.get_rays(
+        torch.from_numpy(ref_dirs), torch.from_numpy(c2w[0]), keepdim=True
+    )
+    ours_o, ours_d = get_rays(jnp.asarray(ours_dirs)[None], jnp.asarray(c2w))
+    np.testing.assert_allclose(np.asarray(ours_o)[0], ref_o.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours_d)[0], ref_d.numpy(), rtol=1e-5, atol=1e-6)
