@@ -314,3 +314,97 @@ def test_ray_directions_and_rays_match_reference(ref_ops):
     ours_o, ours_d = get_rays(jnp.asarray(ours_dirs)[None], jnp.asarray(c2w))
     np.testing.assert_allclose(np.asarray(ours_o)[0], ref_o.numpy(), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(ours_d)[0], ref_d.numpy(), rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# MVDream MultiViewUNetModel forward parity THROUGH the LDM converter
+# (extern/mvdream/ldm/modules/diffusionmodules/openaimodel.py:811-1209):
+# reference torch UNet at tiny size -> state_dict -> convert_ldm_teacher ->
+# our flax UNet -> identical epsilon prediction. Catches both architecture
+# and weight-conversion mismatches in one shot.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_mv_unet_cls():
+    for n in ("pkg_resources", "open_clip"):
+        if n not in sys.modules:
+            sys.modules[n] = types.ModuleType(n)
+    if "omegaconf" not in sys.modules or not hasattr(sys.modules["omegaconf"], "__path__"):
+        om = sys.modules.get("omegaconf") or types.ModuleType("omegaconf")
+        om.__path__ = []
+        om.OmegaConf = getattr(om, "OmegaConf", type("OmegaConf", (), {}))
+        om.DictConfig = getattr(om, "DictConfig", type("DictConfig", (), {}))
+        om.ListConfig = getattr(om, "ListConfig", type("ListConfig", (), {}))
+        lc = types.ModuleType("omegaconf.listconfig")
+        lc.ListConfig = om.ListConfig
+        sys.modules["omegaconf"] = om
+        sys.modules["omegaconf.listconfig"] = lc
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from extern.mvdream.ldm.modules.diffusionmodules.openaimodel import (
+        MultiViewUNetModel,
+    )
+
+    return MultiViewUNetModel
+
+
+def test_mvdream_unet_forward_parity_through_converter(ref_mv_unet_cls):
+    from dataclasses import replace as dc_replace
+
+    from triplaneturbo_tpu.models.unet import UNet2DConditionModel, mvdream_config
+    from triplaneturbo_tpu.utils.convert_torch import (
+        apply_flat_to_tree,
+        convert_ldm_teacher,
+    )
+
+    torch.manual_seed(0)
+    ref = ref_mv_unet_cls(
+        image_size=8, in_channels=4, out_channels=4, model_channels=32,
+        num_res_blocks=1, attention_resolutions=[1], channel_mult=[1, 2],
+        num_heads=8, use_spatial_transformer=True, transformer_depth=1,
+        context_dim=32, camera_dim=16,
+    )
+    ref.eval()
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(4, 4, 8, 8).astype(np.float32)
+    t = np.full((4,), 17, np.int64)
+    ctx = rng.randn(4, 7, 32).astype(np.float32)
+    cam = rng.randn(4, 16).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x), torch.from_numpy(t),
+            context=torch.from_numpy(ctx), camera=torch.from_numpy(cam),
+            num_frames=4,
+        ).numpy()
+
+    state = {
+        f"model.diffusion_model.{k}": v.numpy() for k, v in ref.state_dict().items()
+    }
+    flat = convert_ldm_teacher(state, n_blocks=2, layers_per_block=1)["unet"]
+    assert flat, "converter produced nothing"
+
+    cfg = dc_replace(
+        mvdream_config(dtype_str="float32"),
+        block_out_channels=(32, 64),
+        layers_per_block=1,
+        cross_attention_dim=32,
+        attention_num_heads=8,
+    )
+    unet = UNet2DConditionModel(cfg)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))  # NCHW -> NHWC
+    params = unet.init(
+        jax.random.PRNGKey(0), xj, jnp.asarray(t), jnp.asarray(ctx), jnp.asarray(cam)
+    )
+    params, loaded, mismatched = apply_flat_to_tree(flat, params)
+    assert not mismatched, mismatched[:8]
+    # every leaf of our tree must have been overwritten by a converted tensor
+    from flax.traverse_util import flatten_dict
+
+    n_leaves = len(flatten_dict(params["params"] if "params" in params else params))
+    assert len(loaded) == n_leaves, (len(loaded), n_leaves)
+
+    ours = unet.apply(params, xj, jnp.asarray(t), jnp.asarray(ctx), jnp.asarray(cam))
+    ours = np.asarray(ours).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours, ref_out, rtol=5e-4, atol=5e-5)
