@@ -408,3 +408,131 @@ def test_mvdream_unet_forward_parity_through_converter(ref_mv_unet_cls):
     ours = unet.apply(params, xj, jnp.asarray(t), jnp.asarray(ctx), jnp.asarray(cam))
     ours = np.asarray(ours).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(ours, ref_out, rtol=5e-4, atol=5e-5)
+
+
+def test_richdreamer_unet_forward_parity_through_converter(ref_mv_unet_cls):
+    """Same end-to-end check for the RichDreamer teacher: nd_sd's
+    MultiViewUNetModel (openaimodel_v2_1.py:849, fixed num_heads=8,
+    legacy=False — config txtcond_mvsd-4-objaverse_finetune_wovae.yaml) ->
+    convert_ldm_teacher -> our richdreamer-style flax UNet."""
+    from dataclasses import replace as dc_replace
+
+    from triplaneturbo_tpu.models.unet import UNet2DConditionModel, richdreamer_config
+    from triplaneturbo_tpu.utils.convert_torch import (
+        apply_flat_to_tree,
+        convert_ldm_teacher,
+    )
+
+    # ref_mv_unet_cls fixture already set up the stubs + sys.path
+    from extern.nd_sd.ldm.modules.diffusionmodules.openaimodel_v2_1 import (
+        MultiViewUNetModel as NdMultiViewUNetModel,
+    )
+
+    torch.manual_seed(1)
+    ref = NdMultiViewUNetModel(
+        image_size=8, in_channels=4, out_channels=4, model_channels=32,
+        num_res_blocks=1, attention_resolutions=[1], channel_mult=[1, 2],
+        num_heads=8, use_spatial_transformer=True, transformer_depth=1,
+        context_dim=32, camera_dim=16, legacy=False,
+    )
+    ref.eval()
+
+    rng = np.random.RandomState(6)
+    x = rng.randn(4, 4, 8, 8).astype(np.float32)
+    t = np.full((4,), 333, np.int64)
+    ctx = rng.randn(4, 7, 32).astype(np.float32)
+    cam = rng.randn(4, 16).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x), torch.from_numpy(t),
+            context=torch.from_numpy(ctx), camera=torch.from_numpy(cam),
+            num_frames=4,
+        ).numpy()
+
+    state = {
+        f"model.diffusion_model.{k}": v.numpy() for k, v in ref.state_dict().items()
+    }
+    flat = convert_ldm_teacher(state, n_blocks=2, layers_per_block=1)["unet"]
+
+    cfg = dc_replace(
+        richdreamer_config(dtype_str="float32"),
+        block_out_channels=(32, 64),
+        layers_per_block=1,
+        cross_attention_dim=32,
+    )
+    unet = UNet2DConditionModel(cfg)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    params = unet.init(
+        jax.random.PRNGKey(0), xj, jnp.asarray(t), jnp.asarray(ctx), jnp.asarray(cam)
+    )
+    params, loaded, mismatched = apply_flat_to_tree(flat, params)
+    assert not mismatched, mismatched[:8]
+    from flax.traverse_util import flatten_dict
+
+    n_leaves = len(flatten_dict(params["params"] if "params" in params else params))
+    assert len(loaded) == n_leaves, (len(loaded), n_leaves)
+
+    ours = unet.apply(params, xj, jnp.asarray(t), jnp.asarray(ctx), jnp.asarray(cam))
+    ours = np.asarray(ours).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours, ref_out, rtol=5e-4, atol=5e-5)
+
+
+def test_sd_unet_forward_parity_through_converter(ref_mv_unet_cls):
+    """Plain (non-joint, no camera) SD-2.1-style UNet parity: nd_sd's
+    UNetModel (openaimodel_v2_1.py:446, SpatialTransformer_21 per-frame
+    attention, use_linear_in_transformer) vs our sd21-teacher-style config
+    through the same LDM converter — covers the per-frame attention path the
+    student and SD teacher use."""
+    from dataclasses import replace as dc_replace
+
+    from triplaneturbo_tpu.models.unet import UNet2DConditionModel, sd21_teacher_config
+    from triplaneturbo_tpu.utils.convert_torch import (
+        apply_flat_to_tree,
+        convert_ldm_teacher,
+    )
+
+    from extern.nd_sd.ldm.modules.diffusionmodules.openaimodel_v2_1 import UNetModel
+
+    torch.manual_seed(2)
+    ref = UNetModel(
+        image_size=8, in_channels=4, out_channels=4, model_channels=32,
+        num_res_blocks=1, attention_resolutions=[1], channel_mult=[1, 2],
+        num_head_channels=8, use_spatial_transformer=True, transformer_depth=1,
+        context_dim=32, legacy=False, use_linear_in_transformer=True,
+    )
+    ref.eval()
+
+    rng = np.random.RandomState(8)
+    x = rng.randn(2, 4, 8, 8).astype(np.float32)
+    t = np.full((2,), 505, np.int64)
+    ctx = rng.randn(2, 7, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x), torch.from_numpy(t), context=torch.from_numpy(ctx)
+        ).numpy()
+
+    state = {
+        f"model.diffusion_model.{k}": v.numpy() for k, v in ref.state_dict().items()
+    }
+    flat = convert_ldm_teacher(state, n_blocks=2, layers_per_block=1)["unet"]
+
+    cfg = dc_replace(
+        sd21_teacher_config(dtype_str="float32"),
+        block_out_channels=(32, 64),
+        layers_per_block=1,
+        cross_attention_dim=32,
+        attention_head_dim=8,
+    )
+    unet = UNet2DConditionModel(cfg)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    params = unet.init(jax.random.PRNGKey(0), xj, jnp.asarray(t), jnp.asarray(ctx))
+    params, loaded, mismatched = apply_flat_to_tree(flat, params)
+    assert not mismatched, mismatched[:8]
+    from flax.traverse_util import flatten_dict
+
+    n_leaves = len(flatten_dict(params["params"] if "params" in params else params))
+    assert len(loaded) == n_leaves, (len(loaded), n_leaves)
+
+    ours = unet.apply(params, xj, jnp.asarray(t), jnp.asarray(ctx))
+    ours = np.asarray(ours).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours, ref_out, rtol=5e-4, atol=5e-5)
