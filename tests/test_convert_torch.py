@@ -451,6 +451,9 @@ def _inverse_vae_ldm_name(dkey: str, n_blocks: int) -> str:
     m = re.match(r"mid_block\.resnets\.(\d)\.(.*)$", rest)
     if m:
         return f"{tower}.mid.block_{int(m.group(1)) + 1}.{res_sub(m.group(2))}"
+    m = re.match(r"mid_block\.attentions\.0\.to_out\.0\.(.*)$", rest)
+    if m:  # diffusers ModuleList wrapper -> LDM proj_out
+        return f"{tower}.mid.attn_1.proj_out.{m.group(1)}"
     m = re.match(r"mid_block\.attentions\.0\.(\w+)\.(.*)$", rest)
     if m:
         return f"{tower}.mid.attn_1.{inv_attn[m.group(1)]}.{m.group(2)}"
@@ -484,7 +487,7 @@ def test_ldm_vae_converter_full_coverage():
         dkey = _inverse_vae_name(path)
         arr = _torch_layout(path, np.asarray(leaf))
         # LDM attention q/k/v/proj_out are 1x1 convs
-        if re.search(r"attentions\.0\.to_(q|k|v|out)\.weight$", dkey):
+        if re.search(r"attentions\.0\.to_(q|k|v)\.weight$|attentions\.0\.to_out\.0\.weight$", dkey):
             arr = arr[:, :, None, None]
         src["first_stage_model." + _inverse_vae_ldm_name(dkey, n_blocks)] = arr
     out = convert_ldm_teacher(src, n_blocks=n_blocks, layers_per_block=1)

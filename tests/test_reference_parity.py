@@ -536,3 +536,78 @@ def test_sd_unet_forward_parity_through_converter(ref_mv_unet_cls):
     ours = unet.apply(params, xj, jnp.asarray(t), jnp.asarray(ctx))
     ours = np.asarray(ours).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(ours, ref_out, rtol=5e-4, atol=5e-5)
+
+
+def test_ldm_vae_encoder_decoder_parity_through_converter(ref_mv_unet_cls):
+    """LDM first-stage VAE (extern/nd_sd ldm/modules/diffusionmodules/model.py
+    Encoder/Decoder + the AutoencoderKL quant convs) vs our AutoencoderKL
+    through ldm_vae_to_diffusers + convert_vae — the MVDream teacher's VAE
+    encode path used by ASD training."""
+    from triplaneturbo_tpu.models.vae import AutoencoderKL, VAEConfig
+    from triplaneturbo_tpu.utils.convert_torch import (
+        apply_flat_to_tree,
+        convert_ldm_teacher,
+    )
+
+    from extern.nd_sd.ldm.modules.diffusionmodules.model import Decoder, Encoder
+
+    torch.manual_seed(3)
+    kw = dict(
+        ch=32, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=[],
+        in_channels=3, resolution=32, z_channels=4, double_z=True, out_ch=3,
+    )
+    enc = Encoder(**kw).eval()
+    dec = Decoder(**{**kw, "double_z": False}).eval()
+    quant = torch.nn.Conv2d(8, 8, 1)
+    post_quant = torch.nn.Conv2d(4, 4, 1)
+
+    state = {}
+    for mod, prefix in (
+        (enc, "first_stage_model.encoder."),
+        (dec, "first_stage_model.decoder."),
+        (quant, "first_stage_model.quant_conv."),
+        (post_quant, "first_stage_model.post_quant_conv."),
+    ):
+        for k, v in mod.state_dict().items():
+            state[prefix + k] = v.numpy()
+    # converter requires a UNet section to exist? no — vae path is separate
+    out = convert_ldm_teacher(state, n_blocks=2, layers_per_block=1)
+    flat = out["vae"]
+    assert flat, "vae converter produced nothing"
+
+    rng = np.random.RandomState(9)
+    img = rng.randn(2, 3, 32, 32).astype(np.float32)
+    z = rng.randn(2, 4, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        ref_moments = quant(enc(torch.from_numpy(img))).numpy()
+        ref_rgb = dec(post_quant(torch.from_numpy(z))).numpy()
+
+    vae = AutoencoderKL(
+        VAEConfig(
+            block_out_channels=(32, 64), layers_per_block=1,
+            in_channels=3, latent_channels=4,
+        )
+    )
+    imgj = jnp.asarray(img.transpose(0, 2, 3, 1))
+    zj = jnp.asarray(z.transpose(0, 2, 3, 1))
+    # flax lazy init: build encoder and decoder param trees, then merge
+    p_enc = vae.init(jax.random.PRNGKey(0), imgj, method=vae.encode_moments)
+    p_dec = vae.init(jax.random.PRNGKey(1), zj, method=vae.decode)
+    params = {"params": {**p_enc["params"], **p_dec["params"]}}
+    params, loaded, mismatched = apply_flat_to_tree(flat, params)
+    assert not mismatched, mismatched[:8]
+    from flax.traverse_util import flatten_dict
+
+    n_leaves = len(flatten_dict(params["params"]))
+    # full coverage: a silently skipped leaf (e.g. the to_out.0 naming bug
+    # this test caught) stays random and wrecks converted real weights
+    assert len(loaded) == n_leaves, (len(loaded), n_leaves)
+
+    ours_m = np.asarray(vae.apply(params, imgj, method=vae.encode_moments))
+    np.testing.assert_allclose(
+        ours_m.transpose(0, 3, 1, 2), ref_moments, rtol=5e-4, atol=5e-5
+    )
+    ours_rgb = np.asarray(vae.apply(params, zj, method=vae.decode))
+    np.testing.assert_allclose(
+        ours_rgb.transpose(0, 3, 1, 2), ref_rgb, rtol=5e-4, atol=5e-5
+    )

@@ -506,7 +506,10 @@ def ldm_vae_to_diffusers(
     attn q/k/v/proj_out 1x1 convs -> to_q/to_k/to_v/to_out linears.
     """
     dst: Dict[str, np.ndarray] = {}
-    attn_names = {"q": "to_q", "k": "to_k", "v": "to_v", "proj_out": "to_out", "norm": "group_norm"}
+    # "to_out.0": diffusers wraps the out projection in a ModuleList — the
+    # name convert_vae's _vae_attn looks up (a bare "to_out" is skipped
+    # silently, leaving the projection random: caught by the VAE parity test)
+    attn_names = {"q": "to_q", "k": "to_k", "v": "to_v", "proj_out": "to_out.0", "norm": "group_norm"}
 
     def put(new_key: str, v: Any, squeeze_attn: bool = False) -> None:
         arr = np.asarray(v)
