@@ -611,3 +611,74 @@ def test_ldm_vae_encoder_decoder_parity_through_converter(ref_mv_unet_cls):
     np.testing.assert_allclose(
         ours_rgb.transpose(0, 3, 1, 2), ref_rgb, rtol=5e-4, atol=5e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# CLIP towers vs HF transformers (the library the reference eval uses,
+# evaluation/clipscore/compute.py:111-161: get_image_features /
+# get_text_features of CLIPModel ViT-B/32) — through our converters
+# ---------------------------------------------------------------------------
+
+
+def test_clip_towers_match_hf_transformers():
+    from transformers import CLIPConfig, CLIPModel
+
+    from triplaneturbo_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+    from triplaneturbo_tpu.models.clip_vision import CLIPVisionConfig, CLIPVisionEncoder
+    from triplaneturbo_tpu.utils.convert_torch import (
+        apply_flat_to_tree,
+        convert_clip_text,
+        convert_clip_vision,
+    )
+
+    torch.manual_seed(4)
+    hf = CLIPModel(
+        CLIPConfig(
+            text_config=dict(
+                hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                num_attention_heads=4, max_position_embeddings=77,
+                vocab_size=49408, hidden_act="quick_gelu",
+            ),
+            vision_config=dict(
+                hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                num_attention_heads=4, image_size=32, patch_size=8,
+                hidden_act="quick_gelu",
+            ),
+            projection_dim=32,
+        )
+    ).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    rng = np.random.RandomState(11)
+    pixels = rng.randn(2, 3, 32, 32).astype(np.float32)  # already "normalized"
+    ids = rng.randint(1, 49000, (2, 77))
+    ids[0, 9] = 49407  # eot (HF pools at ids.argmax(-1))
+    ids[1, 30] = 49407
+    with torch.no_grad():
+        ref_img = hf.get_image_features(pixel_values=torch.from_numpy(pixels)).numpy()
+        ref_txt = hf.get_text_features(input_ids=torch.from_numpy(ids)).numpy()
+
+    vis = CLIPVisionEncoder(
+        CLIPVisionConfig(image_size=32, patch_size=8, width=64, layers=2, heads=4,
+                         intermediate=128, projection_dim=32)
+    )
+    vflat = convert_clip_vision(sd, n_layers=2)
+    text_projection = vflat.pop("__text_projection__")
+    pj = jnp.asarray(pixels.transpose(0, 2, 3, 1))
+    vparams = vis.init(jax.random.PRNGKey(0), pj)
+    vparams, vl, vm = apply_flat_to_tree(vflat, vparams)
+    assert not vm, vm[:8]
+    ours_img = np.asarray(vis.apply(vparams, pj))
+    np.testing.assert_allclose(ours_img, ref_img, rtol=1e-4, atol=1e-5)
+
+    txt = CLIPTextEncoder(
+        CLIPTextConfig(width=64, layers=2, heads=4, intermediate=128,
+                       hidden_act="quick_gelu")
+    )
+    tflat = convert_clip_text(sd, n_layers=2)
+    tparams = txt.init(jax.random.PRNGKey(1), jnp.asarray(ids))
+    tparams, tl, tm = apply_flat_to_tree(tflat, tparams)
+    assert not tm, tm[:8]
+    pooled = txt.apply(tparams, jnp.asarray(ids))[1]
+    ours_txt = np.asarray(pooled @ jnp.asarray(text_projection))
+    np.testing.assert_allclose(ours_txt, ref_txt, rtol=1e-4, atol=1e-5)
