@@ -86,7 +86,9 @@ def main() -> None:
         out = pipe(prompt, key=jax.random.fold_in(jax.random.PRNGKey(42), i))
         mesh = out["mesh"][0]
         views = render_mesh_views(mesh, n_views=args.views, height=args.render_size, width=args.render_size)
-        views.block_until_ready()
+        # forced scalar host read: block_until_ready is often a no-op on the
+        # tunneled axon backend (CLAUDE.md) — this is the honest sync
+        float(views.sum())
         dt = time.time() - t0
         t_total += dt
         images[prompt] = views

@@ -74,3 +74,74 @@ def test_eval_turntable():
     np.testing.assert_allclose(b["elevation"], 15.0)
     # light = camera position at eval (reference phase != train)
     np.testing.assert_allclose(b["light_positions"], b["camera_positions"])
+
+
+def _make_objaverse_dir(tmp_path, n_objects=2, n_total_views=8, size=16):
+    """Synthetic Objaverse render library matching the reference layout
+    (obj_library_dir/obj_library/{exported_rgb,exported_normal,
+    exported_depth}/<obj>/NNN.png + exported_json/<obj>/extrinsics.json +
+    meta json of captions)."""
+    import json as _json
+
+    from PIL import Image
+
+    root = tmp_path / "objaverse_debug"
+    meta = {"train": {}, "val": {}, "test": {}}
+    rng = np.random.RandomState(0)
+    for o in range(n_objects):
+        name = f"obj{o}"
+        meta["train"][name] = {"caption": f"a photo of object {o}"}
+        for sub in ("exported_rgb", "exported_normal", "exported_depth"):
+            d = root / sub / name
+            d.mkdir(parents=True)
+            for v in range(n_total_views):
+                rgba = rng.randint(0, 255, (size, size, 4), dtype=np.uint8)
+                rgba[..., 3] = (rng.rand(size, size) > 0.5).astype(np.uint8) * 255
+                Image.fromarray(rgba, "RGBA").save(d / f"{v:03d}.png")
+        cd = root / "exported_json" / name
+        cd.mkdir(parents=True)
+        with open(cd / "extrinsics.json", "w") as f:
+            _json.dump({"000.png": {"elevation": 75.0, "distance": 1.5, "fov": 50.0}}, f)
+    with open(root / "meta.json", "w") as f:
+        _json.dump(meta, f)
+    return tmp_path
+
+
+def test_supervised_objaverse_branch(tmp_path):
+    """Reference :722-822: the supervised item loads n_view evenly spaced
+    turntable renders + caption + shared elev/dist/fov from extrinsics."""
+    lib_dir = _make_objaverse_dir(tmp_path)
+    dm = make_dm(
+        obj_library="objaverse_debug",
+        obj_library_dir=str(lib_dir),
+        meta_json="meta.json",
+        frontal_idx=2,
+    )
+    # 50/50 schedule alternates sup/unsup per step (reference :689)
+    assert dm.data_schedule == ["sup", "unsup"]
+    dm.update_step(0); assert dm.sup_or_unsup == "sup"
+    dm.update_step(1); assert dm.sup_or_unsup == "unsup"
+
+    b = dm.sample_sup_batch()
+    assert b["rgb_imgs"].shape == (4, 16, 16, 3)
+    assert b["normal_imgs"].shape == (4, 16, 16, 3)
+    assert b["depth_imgs"].shape == (4, 16, 16, 3)
+    assert b["mask_imgs"].shape == (4, 16, 16, 1)
+    assert b["prompt"][0].startswith("a photo of object")
+    # camera: shared elevation 90-75=15, distance 1.5, fov 50 across views
+    np.testing.assert_allclose(b["elevation"], 15.0)
+    np.testing.assert_allclose(b["camera_distances"], 1.5)  # relative_radius=False
+    np.testing.assert_allclose(np.rad2deg(b["fovy"]), 50.0, rtol=1e-5)
+    # azimuths evenly spaced at 360/n_view (8 total views, stride 2 = 90deg)
+    az = np.sort(b["azimuth"] % 360)
+    np.testing.assert_allclose(np.diff(az), 90.0, atol=1e-4)
+    # masked pixels: rgb composited over gray bg where alpha=0
+    m0 = b["mask_imgs"][0, ..., 0] == 0
+    np.testing.assert_allclose(b["rgb_imgs"][0][m0], 0.5, atol=1e-6)
+
+
+def test_unsup_schedule_when_no_obj_library():
+    dm = make_dm()
+    assert dm.data_schedule == ["unsup"]
+    dm.update_step(123)
+    assert dm.sup_or_unsup == "unsup"

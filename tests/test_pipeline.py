@@ -6,10 +6,14 @@ import os
 import jax
 import numpy as np
 
+import pytest
+
 from triplaneturbo_tpu.pipelines.triplaneturbo_text_to_3d import (
     TriplaneTurboTextTo3DPipeline,
     export_obj,
 )
+
+pytestmark = pytest.mark.slow  # full-stack XLA compiles, minutes on 1-core CPU
 
 TINY_SG = dict(
     block_out_channels=(32, 64),

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-stack XLA compiles, minutes on 1-core CPU
+
 from triplaneturbo_tpu.data.multiview_multiprompt import (
     DataModuleConfig,
     MultiviewMultipromptDataModule,

@@ -55,6 +55,23 @@ class DataModuleConfig:
     n_test_views: int = 120
     dim_gaussian: Tuple[int, ...] = (6, 4, 32, 32)  # reference NCHW order
     pure_zeros: bool = False
+    # supervised (Objaverse renders) branch (reference :67-77, :722-822).
+    # Dormant in the shipped v1 recipe — the reference's own collate raises on
+    # supervised items ("The supervised data should be used in a single
+    # step", :898-900) — but ported for component parity; active when
+    # obj_library != "none".
+    obj_library: str = "none"
+    obj_library_dir: str = "datasets"
+    meta_json: str = "filtered_3DTopia-objaverse-caption-361k.json"
+    rgb_data_dir: str = "exported_rgb"
+    rgb_bg: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    normal_data_dir: str = "exported_normal"
+    normal_bg: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    depth_data_dir: str = "exported_depth"
+    depth_bg: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    camera_data_dir: str = "exported_json"
+    frontal_idx: int = 24
+    sup_unsup_mode: str = "50/50"  # or "vanilla" (ratio-proportional schedule)
 
 
 def load_prompt_library(cfg: DataModuleConfig) -> Dict[str, List[str]]:
@@ -213,6 +230,115 @@ class MultiviewMultipromptDataModule:
         self.cfg = cfg or DataModuleConfig()
         self.library = load_prompt_library(self.cfg)
         self.rng = np.random.RandomState(seed)
+        # supervised Objaverse library (reference :955-972): meta json maps
+        # split -> {obj_name: {"caption": ...}}; empty when obj_library=none
+        self.sup_obj_library: Dict[str, Any] = {}
+        if self.cfg.obj_library.lower() != "none":
+            path = os.path.join(
+                self.cfg.obj_library_dir, self.cfg.obj_library, self.cfg.meta_json
+            )
+            with open(path) as f:
+                lib = json.load(f)
+            self.sup_obj_library = lib.get("train", lib) if isinstance(lib, dict) else {}
+        self.data_schedule = self._build_data_schedule()
+        self.sup_or_unsup = "unsup"  # updated by update_step (reference :704)
+
+    # -- sup/unsup schedule (reference :683-712) -------------------------------
+
+    def _build_data_schedule(self) -> List[str]:
+        if not self.sup_obj_library:
+            return ["unsup"]
+        if self.cfg.sup_unsup_mode == "50/50":
+            return ["sup", "unsup"]
+        if self.cfg.sup_unsup_mode != "vanilla":
+            raise ValueError(f"unknown sup_unsup_mode {self.cfg.sup_unsup_mode}")
+        schedule = ["unsup"] * 100
+        n_unsup = len(self.library["train"])
+        sup_ratio = len(self.sup_obj_library) / (len(self.sup_obj_library) + n_unsup)
+        sup_interval = int(100 * sup_ratio)
+        for i in (np.arange(0, 100, sup_interval) if sup_interval > 0 else []):
+            schedule[int(i)] = "sup"
+        return schedule
+
+    def update_step(self, global_step: int) -> None:
+        """Pick sup vs unsup for the upcoming step (reference update_step
+        :706-712)."""
+        self.sup_or_unsup = self.data_schedule[global_step % len(self.data_schedule)]
+
+    # -- supervised (Objaverse renders) branch (reference :718-822) -----------
+
+    def _load_im(self, path: str, color: Tuple[float, float, float]):
+        """RGBA png -> (rgb composited over color, alpha), channels-last
+        float32 (reference _load_im :421-442 — torch twin returns CHW)."""
+        from PIL import Image
+
+        img = np.asarray(Image.open(path), dtype=np.float32) / 255.0
+        alpha = img[:, :, 3:4]
+        rgb = img[:, :, :3] * alpha + (1.0 - alpha) * np.asarray(color, np.float32)
+        return rgb, alpha
+
+    def sample_sup_batch(self) -> Dict[str, Any]:
+        """One supervised item: n_view evenly-spaced turntable renders of a
+        random Objaverse object + its caption + ground-truth rgb/normal/
+        depth/mask images (reference __getitem__ sup branch :722-822).
+
+        Returns ONE batch dict (not a list of step-batches): supervised data
+        is single-step by construction — the reference's shipped collate
+        raises if it ever reaches the multi-step path (:898-900)."""
+        cfg = self.cfg
+        names = list(self.sup_obj_library.keys())
+        obj_name = names[self.rng.randint(len(names))]
+        prompt = self.sup_obj_library[obj_name]["caption"]
+        root = os.path.join(cfg.obj_library_dir, cfg.obj_library)
+
+        n_total = len(os.listdir(os.path.join(root, cfg.rgb_data_dir, obj_name)))
+        azimuth_interval = 360.0 / n_total
+        indice_interval = n_total // cfg.n_view
+        all_azimuths = np.arange(0, 360, azimuth_interval, dtype=np.float32)
+        all_indices = np.arange(cfg.frontal_idx, cfg.frontal_idx + n_total) % n_total
+        # MVDream-style random first azimuth, then evenly spaced (ref :749-761)
+        first_azimuth = (
+            self.rng.uniform(0, 1) / cfg.n_view
+            * (cfg.unsup_azimuth_range[1] - cfg.unsup_azimuth_range[0])
+            + cfg.unsup_azimuth_range[0]
+        ) % 360
+        first_idx = int(np.argmin(np.abs(all_azimuths - first_azimuth)))
+        load_indices = [
+            int(all_indices[(first_idx + i * indice_interval) % n_total])
+            for i in range(cfg.n_view)
+        ]
+
+        with open(os.path.join(root, cfg.camera_data_dir, obj_name, "extrinsics.json")) as f:
+            cam = json.load(f)["000.png"]  # all views share elev/dist/fov (ref :766-780)
+        elev = np.full((cfg.n_view,), 90.0 - cam["elevation"], np.float32)
+        dist = np.full((cfg.n_view,), cam["distance"], np.float32)
+        fovy = np.full((cfg.n_view,), cam["fov"], np.float32)
+        azim = all_azimuths[load_indices]
+
+        rgbs, normals, depths, masks = [], [], [], []
+        for idx in load_indices:
+            rgb, alpha = self._load_im(
+                os.path.join(root, cfg.rgb_data_dir, obj_name, f"{idx:03d}.png"), cfg.rgb_bg
+            )
+            normal, _ = self._load_im(
+                os.path.join(root, cfg.normal_data_dir, obj_name, f"{idx:03d}.png"), cfg.normal_bg
+            )
+            depth, _ = self._load_im(
+                os.path.join(root, cfg.depth_data_dir, obj_name, f"{idx:03d}.png"), cfg.depth_bg
+            )
+            rgbs.append(rgb); normals.append(normal); depths.append(depth); masks.append(alpha)
+
+        batch = create_camera_from_angle(
+            elev, azim, dist, fovy, cfg, relative_radius=False, phase="train", rng=self.rng
+        )
+        batch.update(
+            prompt=[prompt],
+            rgb_imgs=np.stack(rgbs),        # [n_view, H, W, 3] channels-last
+            normal_imgs=np.stack(normals),
+            depth_imgs=np.stack(depths),
+            mask_imgs=np.stack(masks),      # [n_view, H, W, 1]
+        )
+        return batch
 
     # -- train ---------------------------------------------------------------
 
