@@ -94,10 +94,11 @@ def main() -> None:
         # on the tunneled axon backend — end every timed region with a forced
         # scalar host transfer, which cannot return before the XLA program
         # producing the buffer completes. Costs ~28 ms (included in the
-        # reported number, i.e. the honest end-to-end latency).
-        return float(jnp.sum(out["mesh"][0].v_pos)) + float(
-            jnp.sum(out["latents"][0, 0, 0, :2])
-        )
+        # reported number, i.e. the honest end-to-end latency). ONE read
+        # suffices: the whole pipeline is a single XLA program, and PJRT
+        # makes every output ready when the program finishes — reading a
+        # second output would just pay the ~28 ms round trip twice.
+        return float(jnp.sum(out["mesh"][0].v_pos))
 
     # compile + warmup
     t0 = time.time()
@@ -117,9 +118,29 @@ def main() -> None:
     med = sorted(times)[len(times) // 2]
 
     n_faces = int(np.asarray(out["mesh"][0].t_mask).sum())
+
+    # FLOPs of the single-program pipeline from XLA's compiled cost analysis
+    # -> achieved TFLOP/s and MFU vs the v5e bf16 peak (~197 TFLOP/s). The
+    # lower().compile() hits the persistent compilation cache (seconds).
+    flops = tflops_s = mfu = None
+    try:
+        input_ids = jnp.asarray(pipe.tokenizer.batch_encode([prompt]))
+        analysis = pipe._generate_one_from_key_jit.lower(
+            pipe.geometry_params, pipe.text_params, input_ids, key
+        ).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0] if analysis else {}
+        flops = float((analysis or {}).get("flops", 0.0)) or None
+        if flops and jax.devices()[0].platform == "tpu":
+            tflops_s = round(flops / med / 1e12, 2)
+            mfu = round(flops / med / 197e12, 4)
+    except Exception as e:
+        print(f"# cost_analysis failed: {e}", file=sys.stderr)
+
     print(
         f"# build {build_s:.1f}s, compile+first {compile_s:.1f}s, "
-        f"runs {['%.3f' % t for t in times]}, faces {n_faces}",
+        f"runs {['%.3f' % t for t in times]}, faces {n_faces}, "
+        f"flops {flops}, tflops/s {tflops_s}, mfu {mfu}",
         file=sys.stderr,
     )
     print(

@@ -18,15 +18,24 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from triplaneturbo_tpu.pipelines.triplaneturbo_text_to_3d import TriplaneTurboTextTo3DPipeline
 
 
+def _sync(out) -> float:
+    """Forced scalar host read: block_until_ready is often a no-op on the
+    tunneled axon backend (CLAUDE.md) — a float() of one output leaf cannot
+    return before the producing program finishes. Costs ~28 ms, which is a
+    constant additive term in every stage time below (see the printed
+    baseline)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf))
+
+
 def timeit(fn, *a, n=5, warmup=1):
     for _ in range(warmup):
-        out = fn(*a)
-        jax.block_until_ready(out)
+        _sync(fn(*a))
     ts = []
     for _ in range(n):
         t0 = time.time()
         out = fn(*a)
-        jax.block_until_ready(out)
+        _sync(out)
         ts.append(time.time() - t0)
     return min(ts), out
 
@@ -38,6 +47,17 @@ def main():
     cfg = pipe.cfg
     input_ids = jnp.asarray(pipe.tokenizer.batch_encode([prompt]))
     latents = jax.random.normal(key, (1, cfg.n_planes, cfg.latent_resolution, cfg.latent_resolution, cfg.latent_channels))
+
+    # baseline: dispatch + forced host read of a trivial program — this
+    # constant is included in every stage time below
+    null = jax.jit(lambda x: x + 1.0)
+    t_null, _ = timeit(lambda: null(jnp.zeros(())))
+    print(f"dispatch+read baseline: {t_null*1e3:.1f} ms (additive in all stages)")
+
+    t_one, _ = timeit(
+        lambda: pipe._generate_one_jit(pipe.geometry_params, pipe.text_params, input_ids, latents)
+    )
+    print(f"single-dispatch full pipeline: {t_one*1e3:.1f} ms")
 
     t_sample, (out_latents, space_cache) = timeit(
         lambda: pipe._sample_jit(pipe.geometry_params, pipe.text_params, input_ids, latents)

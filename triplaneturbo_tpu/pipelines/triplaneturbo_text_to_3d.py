@@ -119,6 +119,9 @@ class TriplaneTurboTextTo3DPipeline:
         # single-prompt fast path: one dispatch for the whole pipeline (each
         # host round trip costs ~200ms on tunneled TPU backends)
         self._generate_one_jit = jax.jit(self._generate_one)
+        # same, with the init-latents randn fused into the program (saves an
+        # eager dispatch + HBM round trip on the benchmarked path)
+        self._generate_one_from_key_jit = jax.jit(self._generate_one_from_key)
 
     def _generate_one(self, geometry_params, text_params, input_ids, init_latents):
         latents, space_cache = self._sample_latents(
@@ -126,6 +129,14 @@ class TriplaneTurboTextTo3DPipeline:
         )
         mesh, color = self._extract_one(geometry_params, space_cache[0])
         return latents, space_cache, mesh, color
+
+    def _generate_one_from_key(self, geometry_params, text_params, input_ids, key):
+        cfg = self.cfg
+        init_latents = jax.random.normal(
+            key,
+            (1, cfg.n_planes, cfg.latent_resolution, cfg.latent_resolution, cfg.latent_channels),
+        )
+        return self._generate_one(geometry_params, text_params, input_ids, init_latents)
 
     # ------------------------------------------------------------------
     # construction
@@ -311,9 +322,9 @@ class TriplaneTurboTextTo3DPipeline:
         cfg = self.cfg
 
         input_ids = jnp.asarray(self.tokenizer.batch_encode(prompt))
-        if latents is None:
-            if key is None:
-                key = jax.random.PRNGKey(42)
+        if latents is None and key is None:
+            key = jax.random.PRNGKey(42)
+        if latents is None and B != 1:
             latents = jax.random.normal(
                 key,
                 (B, cfg.n_planes, cfg.latent_resolution, cfg.latent_resolution, cfg.latent_channels),
@@ -321,9 +332,15 @@ class TriplaneTurboTextTo3DPipeline:
 
         mesh_list = []
         if B == 1:
-            out_latents, space_cache, m, color = self._generate_one_jit(
-                self.geometry_params, self.text_params, input_ids, latents
-            )
+            if latents is None:
+                # randn fused into the single program — no eager latents dispatch
+                out_latents, space_cache, m, color = self._generate_one_from_key_jit(
+                    self.geometry_params, self.text_params, input_ids, key
+                )
+            else:
+                out_latents, space_cache, m, color = self._generate_one_jit(
+                    self.geometry_params, self.text_params, input_ids, latents
+                )
             extracted = [(m, color)]
         else:
             out_latents, space_cache = self._sample_jit(
