@@ -64,24 +64,23 @@ def kire_camera_rig(n_views: int = 4, elevation_deg: float = -15.0, radius: floa
     return get_mvp_matrix(c2w, proj)
 
 
-def render_mesh_views(
-    mesh: Mesh,
-    n_views: int = 4,
-    height: int = 512,
-    width: int = 512,
-    elevation_deg: float = -15.0,
-    bg_color=(1.0, 1.0, 1.0),
-    lambertian: bool = True,
-    faces_per_tile: int = 4096,
-) -> jnp.ndarray:
-    """Render vertex-colored mesh turntable views, [V, H, W, 3] in [0,1].
+import functools
 
-    Simple headlight-Lambertian shading like kire's default view mode.
-    Applies kire's load-time mesh normalization (bound 0.9) before the rig.
-    """
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_views", "height", "width", "elevation_deg", "bg_color",
+        "lambertian", "faces_per_tile",
+    ),
+)
+def _render_views_jit(
+    v_pos, t_pos_idx, v_mask, t_mask, v_rgb,
+    *, n_views, height, width, elevation_deg, bg_color, lambertian, faces_per_tile,
+):
+    mesh = Mesh(v_pos=v_pos, t_pos_idx=t_pos_idx, v_mask=v_mask, t_mask=t_mask)
     mvp = kire_camera_rig(n_views, elevation_deg)
     v_pos = kire_normalize_mesh(mesh.v_pos, mesh.v_mask)
-    v_rgb = mesh.v_rgb if mesh.v_rgb is not None else jnp.ones_like(mesh.v_pos) * 0.7
     v_nrm = mesh.vertex_normals()
     bg = jnp.ones((height, width, 3)) * jnp.asarray(bg_color)
 
@@ -105,3 +104,31 @@ def render_mesh_views(
         img = jnp.where(rast.mask[..., None], rgb, bg)
         frames.append(antialias(img, rast, bg))
     return jnp.clip(jnp.stack(frames), 0.0, 1.0)
+
+
+def render_mesh_views(
+    mesh: Mesh,
+    n_views: int = 4,
+    height: int = 512,
+    width: int = 512,
+    elevation_deg: float = -15.0,
+    bg_color=(1.0, 1.0, 1.0),
+    lambertian: bool = True,
+    faces_per_tile: int = 4096,
+) -> jnp.ndarray:
+    """Render vertex-colored mesh turntable views, [V, H, W, 3] in [0,1].
+
+    Simple headlight-Lambertian shading like kire's default view mode.
+    Applies kire's load-time mesh normalization (bound 0.9) before the rig.
+    ONE jitted program per (capacity, resolution) signature: eager op-by-op
+    execution is pathological over the tunneled backend (~200 ms per
+    dispatch round trip), and fixed-capacity mesh buffers make the compiled
+    program reusable across every mesh of the same export config.
+    """
+    v_rgb = mesh.v_rgb if mesh.v_rgb is not None else jnp.ones_like(mesh.v_pos) * 0.7
+    return _render_views_jit(
+        mesh.v_pos, mesh.t_pos_idx, mesh.v_mask, mesh.t_mask, v_rgb,
+        n_views=n_views, height=height, width=width,
+        elevation_deg=float(elevation_deg), bg_color=tuple(bg_color),
+        lambertian=lambertian, faces_per_tile=faces_per_tile,
+    )
