@@ -79,39 +79,61 @@ def main() -> None:
     t = jnp.asarray(trainer.all_timesteps[0], jnp.int32)
     params_train, params_frozen = split_params(trainer.params, trainer.train_mask)
 
-    def stage(name, fn):
+    def stage(name, fn, lowered=None):
         t0 = time.time()
+        if lowered is not None:
+            # compile first (cached) and report the program's HBM picture
+            # before attempting to run it — on OOM this is the diagnosis.
+            try:
+                mem = lowered().compile().memory_analysis()
+                print(
+                    f"{name}: args {mem.argument_size_in_bytes / 1e9:.2f}GB "
+                    f"out {mem.output_size_in_bytes / 1e9:.2f}GB "
+                    f"temp {mem.temp_size_in_bytes / 1e9:.2f}GB "
+                    f"(compile {time.time() - t0:.1f}s)"
+                )
+            except Exception as e:  # memory_analysis availability varies
+                print(f"{name}: memory_analysis unavailable ({e})")
+            sys.stdout.flush()
+            t0 = time.time()
         out = fn()
         jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
         print(f"{name}: compile+run {time.time() - t0:.1f}s")
+        sys.stdout.flush()
         return out
 
-    latent1, images = stage(
+    def stage_jit(name, jitfn, *sargs):
+        return stage(name, lambda: jitfn(*sargs), lowered=lambda: jitfn.lower(*sargs))
+
+    latent1, space_cache, images = stage_jit(
         "stage_render",
-        lambda: trainer._stage_render_jit(trainer.params, batch, latent, t, embeds, scalars, keys[0]),
+        trainer._stage_render_jit, trainer.params, batch, latent, t, embeds, scalars, keys[0],
     )
-    fid, grad_images = stage(
+    fid, grad_images = stage_jit(
         "stage_teacher",
-        lambda: trainer._stage_teacher_jit(tp, images, batch, embeds, scalars, keys[0]),
+        trainer._stage_teacher_jit, tp, images, batch, embeds, scalars, keys[0],
     )
     print(f"  fid {float(fid):.3f}")
-    g1, regu1 = stage(
-        "stage_student_1st",
-        lambda: trainer._stage_student_branch_jit["1st"](
-            params_train, params_frozen, batch, latent, t, embeds, scalars, grad_images, keys[0]
-        ),
+    g1, gs1, regu1 = stage_jit(
+        "stage_student_render_1st",
+        trainer._stage_student_render_jit["1st"],
+        params_train, params_frozen, batch, space_cache, embeds, scalars, grad_images, keys[0],
     )
-    g2, regu2 = stage(
-        "stage_student_2nd",
-        lambda: trainer._stage_student_branch_jit["2nd"](
-            params_train, params_frozen, batch, latent, t, embeds, scalars, grad_images, keys[0]
-        ),
+    g2, gs2, regu2 = stage_jit(
+        "stage_student_render_2nd",
+        trainer._stage_student_render_jit["2nd"],
+        params_train, params_frozen, batch, space_cache, embeds, scalars, grad_images, keys[0],
+    )
+    gg = stage_jit(
+        "stage_student_space",
+        trainer._stage_student_space_jit,
+        params_train, params_frozen, latent, t, embeds, gs1, gs2, keys[0],
     )
     print(f"  regu {float(regu1) + float(regu2):.3f}")
-    gsum = trainer._acc_jit(g1, g2)
-    stage(
+    gsum = trainer._acc_jit(trainer._acc_jit(g1, g2), gg)
+    stage_jit(
         "stage_update",
-        lambda: trainer._stage_update_jit(params_train, trainer.opt_state, gsum),
+        trainer._stage_update_jit, params_train, trainer.opt_state, gsum,
     )
     print("ALL STAGES OK")
 

@@ -28,6 +28,7 @@ XLA expression — numerically identical to differentiating the unfused path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -233,7 +234,8 @@ def _bwd(radius, bias_r, concat, interpret, res, g):
     m_xy, m_xz, m_zy, w1s, w2s, w3s, w1d, w2d, w3d = res
     g_sdf, g_def = g
     R = m_xy.shape[0]
-    n_slabs = 8 if R % 8 == 0 else 1
+    n_slabs = int(os.environ.get("TTT_FIELD_GRID_SLABS", "8"))
+    n_slabs = n_slabs if R % n_slabs == 0 else 1
     S = R // n_slabs
     world = jnp.linspace(-radius, radius, R)
 

@@ -216,7 +216,15 @@ def rasterize(
             edge_d.reshape(tile, tile),
         )
 
-    fid_t, bary_t, z_t, hit_t, ed_t = jax.lax.map(raster_tile, jnp.arange(th * tw))
+    # remat the tile body: lax.map is a scan, and scan's VJP saves every
+    # per-tile intermediate (e0/e1/e2/w0/w1/w2/z are each [cap, tile²] —
+    # ~5 MB/tile, ~23 GB over 6 views at 512²/cap 512, measured via
+    # memory_analysis). checkpoint collapses the residuals to the hoisted
+    # closure constants + per-tile outputs; the backward re-evaluates the
+    # edge functions per tile, which is cheap VPU work.
+    fid_t, bary_t, z_t, hit_t, ed_t = jax.lax.map(
+        jax.checkpoint(raster_tile), jnp.arange(th * tw)
+    )
 
     def untile(x):
         # [th*tw, tile, tile, ...] -> [H, W, ...]

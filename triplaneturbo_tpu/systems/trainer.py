@@ -200,9 +200,38 @@ class TriplaneTurboTrainer:
         self._stage_student_jit = jax.jit(self._stage_student)
         import functools as _ft
 
+        # The per-branch student backwards are the peak-HBM programs of the
+        # staged step (VAE-decoder up-block backward at 256² x 256ch). XLA's
+        # latency-hiding scheduler prefetches 32 MB decoder activations with
+        # async copies, holding several alive at once — on a 16 GB v5e the
+        # full-size program lands ~23 MB over HBM. Trading that overlap for
+        # fit is strictly right here (the programs are compute-bound).
+        _student_opts = (
+            {"xla_tpu_enable_latency_hiding_scheduler": "false"}
+            if jax.default_backend() == "tpu"
+            else None
+        )
         self._stage_student_branch_jit = {
-            b: jax.jit(_ft.partial(self._stage_student, branch=b)) for b in ("1st", "2nd")
+            b: jax.jit(
+                _ft.partial(self._stage_student, branch=b),
+                compiler_options=_student_opts,
+            )
+            for b in ("1st", "2nd")
         }
+        # render/space split (the default staged decomposition): per-branch
+        # render-only backwards + ONE shared UNet+VAE backward per part.
+        # space_cache (3) and grad_images (6) die with the 2nd-branch call;
+        # the space program consumes (donates) both branch cotangents (5, 6).
+        self._stage_student_render_jit = {
+            "1st": jax.jit(_ft.partial(self._stage_student_render, branch="1st")),
+            "2nd": jax.jit(
+                _ft.partial(self._stage_student_render, branch="2nd"),
+                donate_argnums=(3, 6),
+            ),
+        }
+        self._stage_student_space_jit = jax.jit(
+            self._stage_student_space, donate_argnums=(5, 6)
+        )
         self._stage_update_jit = jax.jit(self._stage_update, donate_argnums=(0, 1))
         self._acc_jit = jax.jit(
             lambda a, b: jax.tree_util.tree_map(jnp.add, a, b), donate_argnums=(0,)
@@ -559,6 +588,18 @@ class TriplaneTurboTrainer:
         per-renderer keys are derived identically for every ``branch`` value
         so single-branch renders match the dual render exactly."""
         k_noise, k_render, _ = jax.random.split(k, 3)
+        denoised, space_cache = self._denoise_decode(
+            params, latent, t, text_embeds, k_noise
+        )
+        out_1st, out_2nd = self._render_branch(
+            params, batch, space_cache, scalars, k_render, text_embeds["global_21"], branch
+        )
+        return denoised, space_cache, out_1st, out_2nd
+
+    def _denoise_decode(self, params, latent, t, text_embeds, k_noise):
+        """Generator half of the student forward: noise -> UNet eps ->
+        pred_original -> VAE decode to the space cache (reference
+        forward_rendering upstream, :504-527)."""
         noise = jax.random.normal(k_noise, latent.shape)
         noisy = add_noise(self.schedule, latent, noise, t)
         eps = self.geometry.apply(
@@ -569,14 +610,12 @@ class TriplaneTurboTrainer:
         space_cache = self.geometry.apply(
             params["geometry"], denoised, method=self.geometry.decode
         )
-        out_1st, out_2nd = self._render_branch(
-            params, batch, space_cache, scalars, k_render, text_embeds["global_21"], branch
-        )
-        return denoised, out_1st, out_2nd
+        return denoised, space_cache
 
     def _stage_render(self, params, batch, latent, t, text_embeds, scalars, k):
-        """Program R: student fwd only; emits the guidance input images."""
-        denoised, out_1st, out_2nd = self._student_forward(
+        """Program R: student fwd only; emits the guidance input images and
+        the detached space cache the render-backward programs reuse."""
+        denoised, space_cache, out_1st, out_2nd = self._student_forward(
             params, batch, latent, t, text_embeds, scalars, k
         )
         images = {
@@ -584,7 +623,11 @@ class TriplaneTurboTrainer:
             for side, out in (("1st", out_1st), ("2nd", out_2nd))
             for name in self._GUIDANCE_IMAGE_KEYS
         }
-        return jax.lax.stop_gradient(denoised), jax.lax.stop_gradient(images)
+        return (
+            jax.lax.stop_gradient(denoised),
+            jax.lax.stop_gradient(space_cache),
+            jax.lax.stop_gradient(images),
+        )
 
     def _stage_teacher(self, teacher_params, images, batch, text_embeds, scalars, k):
         """Program G: teacher ensemble -> (fid value, d(fid)/d(images)).
@@ -618,7 +661,7 @@ class TriplaneTurboTrainer:
 
         def loss_fn(pt):
             p = combine_params(pt, params_frozen)
-            _, out_1st, out_2nd = self._student_forward(
+            _, _, out_1st, out_2nd = self._student_forward(
                 p, batch, latent, t, text_embeds, scalars, k, branch
             )
             outs = {"1st": out_1st, "2nd": out_2nd}
@@ -636,6 +679,62 @@ class TriplaneTurboTrainer:
 
         (_, regu), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_train)
         return grads, regu
+
+    def _stage_student_render(self, params_train, params_frozen, batch, space_cache, text_embeds, scalars, grad_images, k, branch):
+        """Program B-R: ONE renderer's fwd+bwd from the detached space cache.
+
+        Differentiates w.r.t. (trainable partition, space cache): the
+        renderer-side trainables (geometry field MLPs, background hypernet,
+        NeuS variance) get their grads directly; everything upstream of the
+        space cache (UNet + VAE adapters) is deferred to program B-G via the
+        returned d(loss)/d(space_cache) cotangent. Unlike ``_stage_student``
+        this program contains NO UNet/VAE compute at all, so its peak HBM is
+        just the renderer residuals — the decisive split for a 16 GB v5e
+        (the combined per-branch backward lands ~23 MB over HBM at full size).
+        """
+        _, k_render, _ = jax.random.split(k, 3)
+
+        def loss_fn(pt, sc):
+            p = combine_params(pt, params_frozen)
+            out_1st, out_2nd = self._render_branch(
+                p, batch, sc, scalars, k_render, text_embeds["global_21"], branch
+            )
+            out = out_1st if branch == "1st" else out_2nd
+            fid_proxy = 0.0
+            for name in self._GUIDANCE_IMAGE_KEYS:
+                g = jax.lax.stop_gradient(grad_images[f"{name}_{branch}"])
+                fid_proxy = fid_proxy + (g * out[name]).sum()
+            regu = (
+                self._regularizers_1st(out_1st, scalars)
+                if branch == "1st"
+                else self._regularizers_2nd(out_2nd, scalars)
+            )
+            return fid_proxy + regu, regu
+
+        (_, regu), (grads, g_space) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params_train, space_cache)
+        return grads, g_space, regu
+
+    def _stage_student_space(self, params_train, params_frozen, latent, t, text_embeds, g_space_1st, g_space_2nd, k):
+        """Program B-G: UNet denoise + VAE decode fwd+bwd with the injected
+        space-cache cotangent (SpecifyGradient at the space-cache boundary:
+        loss = sum(sg(g) * space_cache) has d/d(space_cache) = g).
+
+        Runs ONCE per denoise part with the two render branches' cotangents
+        summed — vs ``_stage_student`` which re-ran the UNet+VAE fwd AND bwd
+        inside each branch program (2x the generator work per part).
+        By loss additivity + the chain rule the parameter grads are identical
+        (locked by tests/test_trainer_staged.py through train_step)."""
+        k_noise, _, _ = jax.random.split(k, 3)
+        g_space = jax.lax.stop_gradient(g_space_1st + g_space_2nd)
+
+        def loss_fn(pt):
+            p = combine_params(pt, params_frozen)
+            _, space_cache = self._denoise_decode(p, latent, t, text_embeds, k_noise)
+            return (g_space * space_cache).sum()
+
+        return jax.grad(loss_fn)(params_train)
 
     def _stage_update(self, params_train, opt_state, grads):
         grads = jax.tree_util.tree_map(
@@ -667,7 +766,7 @@ class TriplaneTurboTrainer:
             batch = {k_: v for k_, v in batch_list[i].items() if k_ != "noise"}
             t = timesteps[i]
             latent_in = latent
-            latent, images = self._dispatch(
+            latent, space_cache, images = self._dispatch(
                 self._stage_render_jit,
                 self.params, batch, latent_in, t, text_embeds, scalars, keys[i],
             )
@@ -675,17 +774,22 @@ class TriplaneTurboTrainer:
                 self._stage_teacher_jit,
                 teacher_params, images, batch, text_embeds, scalars, keys[i],
             )
-            grads, regu = self._dispatch(
-                self._stage_student_branch_jit["1st"],
-                params_train, params_frozen, batch, latent_in, t,
+            grads, g_space1, regu = self._dispatch(
+                self._stage_student_render_jit["1st"],
+                params_train, params_frozen, batch, space_cache,
                 text_embeds, scalars, grad_images, keys[i],
             )
-            grads2, regu2 = self._dispatch(
-                self._stage_student_branch_jit["2nd"],
-                params_train, params_frozen, batch, latent_in, t,
+            grads2, g_space2, regu2 = self._dispatch(
+                self._stage_student_render_jit["2nd"],
+                params_train, params_frozen, batch, space_cache,
                 text_embeds, scalars, grad_images, keys[i],
             )
-            grads = self._acc_jit(grads, grads2)
+            grads_g = self._dispatch(
+                self._stage_student_space_jit,
+                params_train, params_frozen, latent_in, t,
+                text_embeds, g_space1, g_space2, keys[i],
+            )
+            grads = self._acc_jit(self._acc_jit(grads, grads2), grads_g)
             regu = regu + regu2
             grads_acc = grads if grads_acc is None else self._acc_jit(grads_acc, grads)
             fids.append(fid)
