@@ -71,6 +71,29 @@ def test_fused_matches_module_path():
     )
 
 
+@pytest.mark.parametrize("slabs", [1, 2, 4])
+def test_bwd_slab_count_invariant(monkeypatch, slabs):
+    """BWD_SLABS only changes the backward's recompute decomposition, never
+    the gradients: any slab count matches the unfused reference."""
+    from triplaneturbo_tpu.ops import field_grid_pallas
+
+    args = _make_inputs(jax.random.PRNGKey(3))
+
+    def loss_fused(*a):
+        s, d = fused_field_grid(*a, 1.0, 0.5, False, True)
+        return jnp.sum(s * s) + jnp.sum(jnp.tanh(d))
+
+    def loss_ref(*a):
+        s, d = _reference_field_grid(*a, 1.0, 0.5, False)
+        return jnp.sum(s * s) + jnp.sum(jnp.tanh(d))
+
+    monkeypatch.setattr(field_grid_pallas, "BWD_SLABS", slabs)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 8))(*args)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 8))(*args)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
 def test_fused_gradients_match_reference():
     args = _make_inputs(jax.random.PRNGKey(2))
 

@@ -115,6 +115,16 @@ def test_staged_step_matches_monolithic():
     assert np.isfinite(m_loss) and np.isfinite(s_loss)
     np.testing.assert_allclose(s_loss, m_loss, rtol=2e-4)
 
+    # metrics parity (VERDICT r3 weak #5): both paths emit the same keys,
+    # including grad_norm and the per-part series, and agree numerically
+    assert set(s_metrics) == set(m_metrics)
+    assert "grad_norm" in s_metrics and "grad_norm_0" in s_metrics
+    for k in ("fidelity", "regularization", "grad_norm"):
+        assert np.isfinite(float(s_metrics[k]))
+        np.testing.assert_allclose(
+            float(s_metrics[k]), float(m_metrics[k]), rtol=2e-3, atol=1e-6
+        )
+
     s_params = _host_copy(trainer.params)
     m_flat, _ = jax.tree_util.tree_flatten(m_params)
     s_flat, _ = jax.tree_util.tree_flatten(s_params)

@@ -185,7 +185,9 @@ def main() -> None:
             pt_s, pf_s, batch_s, sc_s, embeds_s, scalars_s, gimg_s, key_s,
         )
     if "full_noslab" in stages:
-        os.environ["TTT_FIELD_GRID_SLABS"] = "1"
+        from triplaneturbo_tpu.ops import field_grid_pallas
+
+        field_grid_pallas.BWD_SLABS = 1
         report(
             "grad full 1st branch (1 slab)",
             jax.grad(lambda *a: branch_loss(*a, render_rgb=True), argnums=(0, 3)),

@@ -126,9 +126,33 @@ def main() -> None:
             pt_s, pf_s, lat_s, t_s, embeds_s, sds(sc_s), sds(sc_s), key_s,
         )
     if "old" in variants:
+        # the replaced combined decomposition (student fwd+bwd through the
+        # UNet+VAE inside each branch program) — kept here, not in the
+        # trainer, as the historical comparison point. The latency-hiding
+        # scheduler is disabled exactly as it was when this variant was
+        # measured ~23 MB over a 16 GB v5e at full size.
+        from triplaneturbo_tpu.systems.trainer import combine_params
+
+        def old_combined_1st(params_train, params_frozen, batch, latent, t,
+                             text_embeds, scalars, grad_images, k):
+            def loss_fn(pt):
+                p = combine_params(pt, params_frozen)
+                _, _, out_1st, _ = trainer._student_forward(
+                    p, batch, latent, t, text_embeds, scalars, k, "1st"
+                )
+                fid_proxy = 0.0
+                for name in trainer._GUIDANCE_IMAGE_KEYS:
+                    g = jax.lax.stop_gradient(grad_images[f"{name}_1st"])
+                    fid_proxy = fid_proxy + (g * out_1st[name]).sum()
+                regu = trainer._regularizers_1st(out_1st, scalars)
+                return fid_proxy + regu, regu
+
+            (_, regu), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_train)
+            return grads, regu
+
         report(
             "old combined 1st (sched OFF)",
-            trainer._stage_student_branch_jit["1st"],
+            jax.jit(old_combined_1st, compiler_options=SCHED_OFF),
             pt_s, pf_s, batch_s, lat_s, t_s, embeds_s, scalars_s, gimg_s, key_s,
         )
     print("DONE")

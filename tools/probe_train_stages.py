@@ -109,11 +109,11 @@ def main() -> None:
         "stage_render",
         trainer._stage_render_jit, trainer.params, batch, latent, t, embeds, scalars, keys[0],
     )
-    fid, grad_images = stage_jit(
+    (fid, gn), grad_images = stage_jit(
         "stage_teacher",
         trainer._stage_teacher_jit, tp, images, batch, embeds, scalars, keys[0],
     )
-    print(f"  fid {float(fid):.3f}")
+    print(f"  fid {float(fid):.3f} grad_norm {float(gn):.4f}")
     g1, gs1, regu1 = stage_jit(
         "stage_student_render_1st",
         trainer._stage_student_render_jit["1st"],

@@ -28,13 +28,21 @@ XLA expression — numerically identical to differentiating the unfused path.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Backward-pass slab count of fused_field_grid (see _bwd): the recompute is
+# partitioned into this many x-slabs to bound peak HBM temps; any value with
+# identical gradients (falls back to 1 whole-grid slab when it does not
+# divide R). 8 bounds the R=160 training backward's recompute temps to
+# ~0.25 GB. Read at trace time; tools/probe_render_mem.py overrides it to
+# compare decompositions (gradient equality across values is locked by
+# tests/test_field_grid_pallas.py).
+BWD_SLABS = 8
 
 
 def _kernel(a_xy_ref, a_xz_ref, a_zy_ref, w2_ref, w3t_ref, bias_ref,
@@ -234,8 +242,7 @@ def _bwd(radius, bias_r, concat, interpret, res, g):
     m_xy, m_xz, m_zy, w1s, w2s, w3s, w1d, w2d, w3d = res
     g_sdf, g_def = g
     R = m_xy.shape[0]
-    n_slabs = int(os.environ.get("TTT_FIELD_GRID_SLABS", "8"))
-    n_slabs = n_slabs if R % n_slabs == 0 else 1
+    n_slabs = BWD_SLABS if R % BWD_SLABS == 0 else 1
     S = R // n_slabs
     world = jnp.linspace(-radius, radius, R)
 

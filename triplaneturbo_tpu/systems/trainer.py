@@ -97,6 +97,16 @@ class TrainerConfig:
     gradient_accumulation_steps: int = 1
     prediction_type: str = "epsilon"
     parallel_guidance: bool = False
+    # staged path only: force one tiny host read after EVERY staged program
+    # dispatch. PJRT allocates every enqueued program's OUTPUT buffers at
+    # dispatch time, so letting the host race ahead stacks the queued
+    # programs' outputs (three ~0.7 GB grad trees per part) on top of the
+    # running program's temps — measured OOM on the 16 GB v5e at the
+    # full-size 1-chip config even with one sync per PART
+    # (probe_train_stages runs the same programs one-at-a-time and fits).
+    # Each read costs ~28 ms through the tunnel; ~6 programs x 4 parts
+    # ≈ 0.7 s/step, the price of serial-stream peak-memory = one program.
+    sync_per_part: bool = True
     # the reference v1 recipe's auto_grad (configs/TriplaneTurbo_v1.yaml:198;
     # guidance :702-755): precompute image-space guidance gradients with the
     # teachers, re-inject via the SpecifyGradient trick. Here it additionally
@@ -197,27 +207,8 @@ class TriplaneTurboTrainer:
         # staged (auto_grad) programs — lazily compiled, free to define
         self._stage_render_jit = jax.jit(self._stage_render)
         self._stage_teacher_jit = jax.jit(self._stage_teacher)
-        self._stage_student_jit = jax.jit(self._stage_student)
         import functools as _ft
 
-        # The per-branch student backwards are the peak-HBM programs of the
-        # staged step (VAE-decoder up-block backward at 256² x 256ch). XLA's
-        # latency-hiding scheduler prefetches 32 MB decoder activations with
-        # async copies, holding several alive at once — on a 16 GB v5e the
-        # full-size program lands ~23 MB over HBM. Trading that overlap for
-        # fit is strictly right here (the programs are compute-bound).
-        _student_opts = (
-            {"xla_tpu_enable_latency_hiding_scheduler": "false"}
-            if jax.default_backend() == "tpu"
-            else None
-        )
-        self._stage_student_branch_jit = {
-            b: jax.jit(
-                _ft.partial(self._stage_student, branch=b),
-                compiler_options=_student_opts,
-            )
-            for b in ("1st", "2nd")
-        }
         # render/space split (the default staged decomposition): per-branch
         # render-only backwards + ONE shared UNet+VAE backward per part.
         # space_cache (3) and grad_images (6) die with the 2nd-branch call;
@@ -247,6 +238,20 @@ class TriplaneTurboTrainer:
         if self._cost_hook is not None:
             self._cost_hook(fn, args)
         return fn(*args)
+
+    def _hard_sync(self, out) -> None:
+        """Retire every program enqueued so far (staged path, sync_per_part).
+
+        Reads ONE element of one output leaf to the host: serial-stream
+        execution order guarantees everything dispatched earlier has finished
+        when the read returns, so the finished program's temps and any
+        donated inputs are free before the next program is enqueued.
+        jax.block_until_ready is NOT a reliable barrier through the tunnel
+        (CLAUDE.md) — only a host read is."""
+        if not self.cfg.sync_per_part:
+            return
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.ravel(leaf)[0])
 
     def step_cost_flops(self, batch_list, text_embeds, key) -> float:
         """Total XLA-analyzed FLOPs of ONE optimization step.
@@ -547,25 +552,40 @@ class TriplaneTurboTrainer:
                 params, batch, space_cache, scalars, k_render,
                 text_embeds["global_21"],
             )
-            fid, _ = self._guidance_losses(
+            fid, gaux = self._guidance_losses(
                 k_guid, out_1st, out_2nd, batch, text_embeds, scalars, teacher_params
             )
             regu = self._regularizers(out_1st, out_2nd, scalars)
-            return jax.lax.stop_gradient(denoised), (fid, regu)
+            return jax.lax.stop_gradient(denoised), (fid, regu, gaux["grad_norm_mv"])
 
         # remat each denoise step: without it the scan stores every step's
         # residuals simultaneously (num_parts x the renderer/teacher
         # activations — OOM at real sizes); the reference checkpoints the
         # heavy submodules for the same reason (SURVEY §2.7)
-        _, (fids, regus) = jax.lax.scan(
+        _, (fids, regus, gns) = jax.lax.scan(
             jax.checkpoint(body), latent0, (stacked, timesteps, keys)
         )
         total = (fids.sum() + regus.sum()) / cfg.num_parts_training
-        metrics = {"loss": total, "fidelity": fids.mean(), "regularization": regus.mean()}
+        metrics = self._step_metrics(fids, regus, gns)
+        return total, metrics
+
+    def _step_metrics(self, fids, regus, gns) -> Dict[str, jax.Array]:
+        """Per-step metric dict, identical keys for the monolithic and staged
+        paths (reference logs every loss term per denoise-step index,
+        systems/multiprompt...py:610-616): aggregate loss/fidelity/
+        regularization/grad_norm plus the per-part series."""
+        cfg = self.cfg
+        metrics = {
+            "loss": (fids.sum() + regus.sum()) / cfg.num_parts_training,
+            "fidelity": fids.mean(),
+            "regularization": regus.mean(),
+            "grad_norm": gns.mean(),
+        }
         for i in range(cfg.num_parts_training):
             metrics[f"fidelity_{i}"] = fids[i]
             metrics[f"regularization_{i}"] = regus[i]
-        return total, metrics
+            metrics[f"grad_norm_{i}"] = gns[i]
+        return metrics
 
     def _train_step(self, params_train, params_frozen, opt_state, batch_list, timesteps, text_embeds, scalars, key, teacher_params):
         (loss, metrics), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
@@ -630,55 +650,24 @@ class TriplaneTurboTrainer:
         )
 
     def _stage_teacher(self, teacher_params, images, batch, text_embeds, scalars, k):
-        """Program G: teacher ensemble -> (fid value, d(fid)/d(images)).
+        """Program G: teacher ensemble -> ((fid value, grad_norm),
+        d(fid)/d(images)).
 
         Contains the 3 teacher UNets (+ VAE encoders) and differentiates only
-        w.r.t. the input images — the auto_grad precompute."""
+        w.r.t. the input images — the auto_grad precompute. grad_norm (the MV
+        teacher's ASD-gradient norm, what the reference logs per part) rides
+        along as aux so staged metrics match the monolithic path."""
         _, _, k_guid = jax.random.split(k, 3)
 
         def fid_fn(imgs):
             o1 = {name: imgs[f"{name}_1st"] for name in self._GUIDANCE_IMAGE_KEYS}
             o2 = {name: imgs[f"{name}_2nd"] for name in self._GUIDANCE_IMAGE_KEYS}
-            fid, _ = self._guidance_losses(
+            fid, gaux = self._guidance_losses(
                 k_guid, o1, o2, batch, text_embeds, scalars, teacher_params
             )
-            return fid
+            return fid, gaux["grad_norm_mv"]
 
-        return jax.value_and_grad(fid_fn)(images)
-
-    def _stage_student(self, params_train, params_frozen, batch, latent, t, text_embeds, scalars, grad_images, k, branch="both"):
-        """Program B: student fwd + bwd with the injected image gradients
-        (SpecifyGradient: loss = sum(sg(g) * img) has d/d(img) = g) plus the
-        regularizers. No teacher enters this compile unit; only the trainable
-        partition is differentiated.
-
-        ``branch`` restricts the program to one renderer ("1st" mesh /
-        "2nd" volume): the loss is additive across branches, so running B1 +
-        B2 and summing grads equals the dual program — at roughly half the
-        peak activation memory each (the full-size step fits a 16 GB v5e
-        only this way; grad-equality locked by tests/test_trainer_staged.py)."""
-        sides = ("1st", "2nd") if branch == "both" else (branch,)
-
-        def loss_fn(pt):
-            p = combine_params(pt, params_frozen)
-            _, _, out_1st, out_2nd = self._student_forward(
-                p, batch, latent, t, text_embeds, scalars, k, branch
-            )
-            outs = {"1st": out_1st, "2nd": out_2nd}
-            fid_proxy = 0.0
-            for side in sides:
-                for name in self._GUIDANCE_IMAGE_KEYS:
-                    g = jax.lax.stop_gradient(grad_images[f"{name}_{side}"])
-                    fid_proxy = fid_proxy + (g * outs[side][name]).sum()
-            regu = 0.0
-            if "1st" in sides:
-                regu = regu + self._regularizers_1st(out_1st, scalars)
-            if "2nd" in sides:
-                regu = regu + self._regularizers_2nd(out_2nd, scalars)
-            return fid_proxy + regu, regu
-
-        (_, regu), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_train)
-        return grads, regu
+        return jax.value_and_grad(fid_fn, has_aux=True)(images)
 
     def _stage_student_render(self, params_train, params_frozen, batch, space_cache, text_embeds, scalars, grad_images, k, branch):
         """Program B-R: ONE renderer's fwd+bwd from the detached space cache.
@@ -687,7 +676,9 @@ class TriplaneTurboTrainer:
         renderer-side trainables (geometry field MLPs, background hypernet,
         NeuS variance) get their grads directly; everything upstream of the
         space cache (UNet + VAE adapters) is deferred to program B-G via the
-        returned d(loss)/d(space_cache) cotangent. Unlike ``_stage_student``
+        returned d(loss)/d(space_cache) cotangent. Unlike a combined
+        per-branch backward (student fwd+bwd through the UNet+VAE per branch,
+        the decomposition this one replaced — see tools/probe_student_mem.py)
         this program contains NO UNet/VAE compute at all, so its peak HBM is
         just the renderer residuals — the decisive split for a 16 GB v5e
         (the combined per-branch backward lands ~23 MB over HBM at full size).
@@ -722,8 +713,9 @@ class TriplaneTurboTrainer:
         loss = sum(sg(g) * space_cache) has d/d(space_cache) = g).
 
         Runs ONCE per denoise part with the two render branches' cotangents
-        summed — vs ``_stage_student`` which re-ran the UNet+VAE fwd AND bwd
-        inside each branch program (2x the generator work per part).
+        summed — vs the replaced combined decomposition which re-ran the
+        UNet+VAE fwd AND bwd inside each branch program (2x the generator
+        work per part; see tools/probe_student_mem.py).
         By loss additivity + the chain rule the parameter grads are identical
         (locked by tests/test_trainer_staged.py through train_step)."""
         k_noise, _, _ = jax.random.split(k, 3)
@@ -761,7 +753,7 @@ class TriplaneTurboTrainer:
         params_train, params_frozen = split_params(self.params, self.train_mask)
 
         grads_acc = None
-        fids, regus = [], []
+        fids, regus, gns = [], [], []
         for i in range(cfg.num_parts_training):
             batch = {k_: v for k_, v in batch_list[i].items() if k_ != "noise"}
             t = timesteps[i]
@@ -770,45 +762,45 @@ class TriplaneTurboTrainer:
                 self._stage_render_jit,
                 self.params, batch, latent_in, t, text_embeds, scalars, keys[i],
             )
-            fid, grad_images = self._dispatch(
+            self._hard_sync(latent)
+            (fid, gn), grad_images = self._dispatch(
                 self._stage_teacher_jit,
                 teacher_params, images, batch, text_embeds, scalars, keys[i],
             )
+            self._hard_sync(fid)
             grads, g_space1, regu = self._dispatch(
                 self._stage_student_render_jit["1st"],
                 params_train, params_frozen, batch, space_cache,
                 text_embeds, scalars, grad_images, keys[i],
             )
+            self._hard_sync(regu)
             grads2, g_space2, regu2 = self._dispatch(
                 self._stage_student_render_jit["2nd"],
                 params_train, params_frozen, batch, space_cache,
                 text_embeds, scalars, grad_images, keys[i],
             )
+            self._hard_sync(regu2)
             grads_g = self._dispatch(
                 self._stage_student_space_jit,
                 params_train, params_frozen, latent_in, t,
                 text_embeds, g_space1, g_space2, keys[i],
             )
+            self._hard_sync(grads_g)
             grads = self._acc_jit(self._acc_jit(grads, grads2), grads_g)
             regu = regu + regu2
             grads_acc = grads if grads_acc is None else self._acc_jit(grads_acc, grads)
             fids.append(fid)
             regus.append(regu)
+            gns.append(gn)
+            self._hard_sync(grads_acc)
+        # drop the last part's buffers the loop locals still pin (~1 GB of
+        # space cache / image grads / per-branch grads) before the update
+        del space_cache, grad_images, g_space1, g_space2, grads, grads2, grads_g
         params_train, self.opt_state = self._dispatch(
             self._stage_update_jit, params_train, self.opt_state, grads_acc
         )
         self.params = combine_params(params_train, params_frozen)
-        fids = jnp.stack(fids)
-        regus = jnp.stack(regus)
-        metrics = {
-            "loss": (fids.sum() + regus.sum()) / cfg.num_parts_training,
-            "fidelity": fids.mean(),
-            "regularization": regus.mean(),
-        }
-        for i in range(cfg.num_parts_training):
-            metrics[f"fidelity_{i}"] = fids[i]
-            metrics[f"regularization_{i}"] = regus[i]
-        return metrics
+        return self._step_metrics(jnp.stack(fids), jnp.stack(regus), jnp.stack(gns))
 
     # ------------------------------------------------------------------
     # validation / test (turntable rendering, reference :546-933)
