@@ -789,13 +789,17 @@ class TriplaneTurboTrainer:
             grads = self._acc_jit(self._acc_jit(grads, grads2), grads_g)
             regu = regu + regu2
             grads_acc = grads if grads_acc is None else self._acc_jit(grads_acc, grads)
+            # the b-side accumulation args are NOT donated (only arg 0 is) —
+            # drop the Python refs now or three ~0.7 GB grad trees stay live
+            # into the next part's render program (measured OOM, r4)
+            del grads, grads2, grads_g
             fids.append(fid)
             regus.append(regu)
             gns.append(gn)
             self._hard_sync(grads_acc)
-        # drop the last part's buffers the loop locals still pin (~1 GB of
-        # space cache / image grads / per-branch grads) before the update
-        del space_cache, grad_images, g_space1, g_space2, grads, grads2, grads_g
+        # drop the last part's buffers the loop locals still pin (the space
+        # cache / image grads / branch cotangents) before the update
+        del space_cache, grad_images, g_space1, g_space2
         params_train, self.opt_state = self._dispatch(
             self._stage_update_jit, params_train, self.opt_state, grads_acc
         )
