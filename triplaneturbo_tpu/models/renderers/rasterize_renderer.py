@@ -51,6 +51,10 @@ class RasterizeRendererConfig:
     field_chunk: int = 262144
     tile: int = 16
     faces_per_tile: int = 1024
+    # MC triangles are ~one grid cell (< 3 px at 256²/R128), so a face bbox
+    # straddles at most 2 tiles per axis; binning cost scales with span², and
+    # n_span_overflow counts (and the trainer logs) any violation.
+    max_span: int = 2
     isosurface_deformable_grid: bool = True
 
 
@@ -173,6 +177,7 @@ class GenerativeSpaceMeshRasterizeRenderer:
                 rast = rasterize(
                     v_clip, mesh.t_pos_idx, mesh.t_mask, height, width,
                     tile=cfg.tile, faces_per_tile=cfg.faces_per_tile,
+                    max_span=cfg.max_span,
                 )
                 views.append((v_clip, rast))
 

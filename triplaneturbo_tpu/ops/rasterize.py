@@ -6,13 +6,20 @@ SURVEY §2.6 #2: the reference rasterizes meshes with nvdiffrast CUDA
 1. **bin**: each (valid) face's screen bbox is mapped to the image tile grid;
    (tile, face) pairs are ranked by a lexicographic sort and scattered into a
    fixed-capacity per-tile face list — all static shapes;
-2. **raster**: ``lax.map`` over tiles; per tile, edge functions of its face
-   list are evaluated at the tile's pixels, a masked z-argmin picks the
-   nearest face; barycentrics are recomputed differentiably from the chosen
-   face's vertices (gradients flow to vertex positions through barycentric
-   weights and depth, like nvdiffrast's interpolate backward);
-3. **interpolate**: perspective-correct attribute interpolation;
-4. **antialias**: the reference's gradient path through silhouette edges is
+2. **select** (non-differentiable): ALL tiles in parallel, a ``lax.scan``
+   over the face-capacity dimension in chunks keeps a running per-pixel
+   (z, slot) minimum. Inputs are stop-gradient'ed — the winner's index is
+   piecewise-constant in the vertices, so AD never touches this loop. This
+   replaces the r1–r3 design (a sequential ``lax.map`` over tiles whose
+   rematted body was re-run by the backward pass): on a v5e the old design
+   was latency-bound at ~1 s/view for 256²; the batched select is VPU-bound;
+3. **recompute** (differentiable, O(H·W)): the winning face's three vertices
+   are gathered per pixel and the edge functions / barycentrics / depth /
+   signed edge distance are recomputed at the pixel center — gradients flow
+   to vertex positions exactly as in nvdiffrast's interpolate backward,
+   at per-pixel (not per-tile-list) cost;
+4. **interpolate**: perspective-correct attribute interpolation;
+5. **antialias**: the reference's gradient path through silhouette edges is
    heavily damped (sdf_grad_shrink=0.001,
    generative_space_mesh_rasterize_renderer.py:449-465), so a screen-space
    2-tap edge blend stands in for nvdiffrast's analytic antialias
@@ -83,14 +90,23 @@ def _bin_faces(
     tid = jnp.where(ok, tid, n_tiles)  # overflow sentinel tile
 
     tid_flat = tid.reshape(-1)  # [F * S * S]
-    fid_flat = jnp.repeat(jnp.arange(F), MAX_SPAN * MAX_SPAN)
+    fid_flat = jnp.repeat(jnp.arange(F, dtype=jnp.int32), MAX_SPAN * MAX_SPAN)
 
-    # rank entries within their tile: sort by tile, rank = pos - first_pos(tile)
-    order = jnp.argsort(tid_flat, stable=True)
-    tid_sorted = tid_flat[order]
-    fid_sorted = fid_flat[order]
-    first_pos = jnp.searchsorted(tid_sorted, tid_sorted, side="left")
-    rank = jnp.arange(tid_sorted.shape[0]) - first_pos
+    # rank entries within their tile: sort by tile, rank = pos - first_pos(tile).
+    # lax.sort carries the payload through the sort network (no 3M-entry
+    # argsort-then-gather), and first_pos is a neighbor-compare + running-max
+    # scan — the r1-r3 searchsorted(self) did log2(n) ROUNDS of random gathers
+    # (~8 ns/elem on v5e), which dominated the whole rasterizer at 196k-face
+    # capacity.
+    tid_sorted, fid_sorted = jax.lax.sort(
+        (tid_flat, fid_flat), dimension=0, is_stable=True, num_keys=1
+    )
+    idx = jnp.arange(tid_sorted.shape[0], dtype=jnp.int32)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), tid_sorted[1:] != tid_sorted[:-1]]
+    )
+    first_pos = jax.lax.associative_scan(jnp.maximum, jnp.where(is_first, idx, 0))
+    rank = idx - first_pos
 
     keep = (tid_sorted < n_tiles) & (rank < cap)
     dest = jnp.where(keep, tid_sorted * cap + rank, n_tiles * cap)
@@ -115,9 +131,14 @@ def rasterize(
     tile: int = 16,
     faces_per_tile: int = 512,
     max_span: int = 4,
+    select_chunk: int = 128,
 ) -> RasterOut:
     """Rasterize one view. Differentiable w.r.t. verts through bary + depth
-    and, via ``edge_dist``/:func:`antialias`, through silhouette coverage."""
+    and, via ``edge_dist``/:func:`antialias`, through silhouette coverage.
+
+    ``select_chunk`` bounds the winner-select scan's transient size
+    ([n_tiles, select_chunk, tile²] per edge function); it does not change
+    results."""
     V = verts_clip.shape[0]
     F = faces.shape[0]
     if face_valid is None:
@@ -143,101 +164,138 @@ def rasterize(
         jax.lax.stop_gradient(tri_xy), valid, H, W, tile, faces_per_tile, max_span
     )
     th, tw = H // tile, W // tile
+    T = th * tw
+    p = tile * tile
 
-    # pixel centers per tile
-    px = (jnp.arange(tile) + 0.5)[None, :]  # x within tile
-    py = (jnp.arange(tile) + 0.5)[:, None]
+    # ---- pass 1: winner selection (non-differentiable) ---------------------
+    # All tiles at once; scan over the capacity dimension in chunks with a
+    # running per-pixel (z, slot) minimum. Inputs are stop-gradient'ed: the
+    # argmin index is piecewise-constant in the vertices, so the backward
+    # pass never re-enters this loop (the r1-r3 sequential tile map + remat
+    # re-ran it tile-by-tile — latency-bound on TPU).
+    ng = jax.lax.stop_gradient
+    cap = bins.shape[1]
+    ch = min(select_chunk, cap)
+    n_chunks = -(-cap // ch)
+    bins_p = jnp.pad(bins, ((0, 0), (0, n_chunks * ch - cap)), constant_values=-1)
+    fb = jnp.maximum(bins_p, 0)  # [T, capp]
+    # prefetch binned face data once (one gather, small: [T, capp, 3, ...])
+    pxy = ng(tri_xy)[fb]  # [T, capp, 3, 2]
+    pz = ng(tri_z)[fb]  # [T, capp, 3]
+    pok = bins_p >= 0  # [T, capp]
 
-    def raster_tile(tile_idx):
-        ty, tx = tile_idx // tw, tile_idx % tw
-        fids = bins[tile_idx]  # [C]
-        fvalid = fids >= 0
-        f = jnp.maximum(fids, 0)
-        a = tri_xy[f, 0]  # [C, 2]
-        b = tri_xy[f, 1]
-        c = tri_xy[f, 2]
-        za, zb, zc = tri_z[f, 0], tri_z[f, 1], tri_z[f, 2]
+    # pixel centers for every tile, pixel index i = (y within tile)*tile + x
+    ty_idx, tx_idx = jnp.divmod(jnp.arange(T), tw)
+    off = jnp.arange(tile) + 0.5
+    PX = (tx_idx[:, None, None] * tile + off[None, None, :]) + jnp.zeros(
+        (1, tile, 1)
+    )  # [T, tile(y), tile(x)]
+    PY = (ty_idx[:, None, None] * tile + off[None, :, None]) + jnp.zeros((1, 1, tile))
+    PX = PX.reshape(T, p)
+    PY = PY.reshape(T, p)
 
-        X = tx * tile + px + jnp.zeros_like(py)  # [tile, tile]
-        Y = ty * tile + py + jnp.zeros_like(px)
-        P = jnp.stack([X, Y], axis=-1).reshape(-1, 2)  # [p, 2]
+    def seg(x):  # [T, capp, ...] -> [n_chunks, T, ch, ...]
+        x = x.reshape((T, n_chunks, ch) + x.shape[2:])
+        return jnp.moveaxis(x, 1, 0)
 
-        def edge(p0, p1, q):
-            # cross((p1-p0), (q-p0)) for all pixels: [C, p]
-            d = p1 - p0  # [C, 2]
-            return d[:, None, 0] * (q[None, :, 1] - p0[:, None, 1]) - d[:, None, 1] * (
-                q[None, :, 0] - p0[:, None, 0]
-            )
+    def select_step(carry, xs):
+        zbest, sbest = carry  # [T, p] f32 / int32
+        axy, az, aok, base = xs  # [T, ch, 3, 2], [T, ch, 3], [T, ch], scalar
+        a, b, c = axy[:, :, 0], axy[:, :, 1], axy[:, :, 2]  # [T, ch, 2]
 
-        e0 = edge(b, c, P)  # opposite a
-        e1 = edge(c, a, P)
-        e2 = edge(a, b, P)
-        area = e0 + e1 + e2  # = 2*signed area, [C, p] (constant over p)
+        def edge(p0, p1):
+            d = p1 - p0  # [T, ch, 2]
+            return d[..., 0:1] * (PY[:, None, :] - p0[..., 1:2]) - d[..., 1:2] * (
+                PX[:, None, :] - p0[..., 0:1]
+            )  # [T, ch, p]
+
+        e0 = edge(b, c)  # opposite a
+        e1 = edge(c, a)
+        e2 = edge(a, b)
+        area = e0 + e1 + e2
         denom = jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
-        w0 = e0 / denom
-        w1 = e1 / denom
-        w2 = e2 / denom
-        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & fvalid[:, None]
-        z = w0 * za[:, None] + w1 * zb[:, None] + w2 * zc[:, None]
-        z = jnp.where(inside, z, 1e10)
-
-        best = jnp.argmin(z, axis=0)  # [p]
-        pix = jnp.arange(P.shape[0])
-        hit = inside[best, pix]
-        zbest = z[best, pix]
-        fbest = jnp.where(hit, fids[best], -1)
-        bary = jnp.stack([w0[best, pix], w1[best, pix], w2[best, pix]], axis=-1)
-        # signed pixel distance to the hit face's nearest edge (edge fn value
-        # over edge length), orientation-normalized — differentiable w.r.t.
-        # the screen vertex positions (the silhouette gradient channel)
-        def elen(p0, p1):
-            # eps INSIDE the sqrt: d(sqrt(s+eps))/dp is 0 at p1==p0, whereas
-            # norm() has a 0/0 = NaN gradient there — padding faces (all
-            # verts = index 0) would poison the whole backward pass through
-            # the 0-cotangent-times-NaN-partial trap
-            return jnp.sqrt(jnp.sum((p1 - p0) ** 2, axis=-1) + 1e-12)  # [C]
-
-        sgn = jnp.sign(area[best, pix])
-        d = jnp.minimum(
-            e0[best, pix] / elen(b, c)[best],
-            jnp.minimum(e1[best, pix] / elen(c, a)[best], e2[best, pix] / elen(a, b)[best]),
-        ) * sgn
-        edge_d = jnp.where(hit, d, 0.0)
-        # perspective correction: w_pc_i = (w_i / w_clip_i) / sum
-        wclip = tri_w[f][best]  # [p, 3]
-        bw = bary / wclip
-        bary_pc = bw / jnp.maximum(bw.sum(-1, keepdims=True), 1e-12)
-        bary_pc = jnp.where(hit[:, None], bary_pc, 0.0)
-        return (
-            fbest.reshape(tile, tile),
-            bary_pc.reshape(tile, tile, 3),
-            jnp.where(hit, zbest, 1e10).reshape(tile, tile),
-            hit.reshape(tile, tile),
-            edge_d.reshape(tile, tile),
+        inside = (
+            (e0 / denom >= 0)
+            & (e1 / denom >= 0)
+            & (e2 / denom >= 0)
+            & aok[:, :, None]
         )
+        z = (
+            (e0 / denom) * az[..., 0:1]
+            + (e1 / denom) * az[..., 1:2]
+            + (e2 / denom) * az[..., 2:3]
+        )
+        z = jnp.where(inside, z, 1e10)
+        zl = jnp.min(z, axis=1)  # [T, p]
+        il = jnp.argmin(z, axis=1).astype(jnp.int32)
+        better = zl < zbest
+        return (
+            jnp.minimum(zbest, zl),
+            jnp.where(better, base + il, sbest),
+        ), None
 
-    # remat the tile body: lax.map is a scan, and scan's VJP saves every
-    # per-tile intermediate (e0/e1/e2/w0/w1/w2/z are each [cap, tile²] —
-    # ~5 MB/tile, ~23 GB over 6 views at 512²/cap 512, measured via
-    # memory_analysis). checkpoint collapses the residuals to the hoisted
-    # closure constants + per-tile outputs; the backward re-evaluates the
-    # edge functions per tile, which is cheap VPU work.
-    fid_t, bary_t, z_t, hit_t, ed_t = jax.lax.map(
-        jax.checkpoint(raster_tile), jnp.arange(th * tw)
+    (zbest, sbest), _ = jax.lax.scan(
+        select_step,
+        (jnp.full((T, p), 1e10, jnp.float32), jnp.full((T, p), 0, jnp.int32)),
+        (seg(pxy), seg(pz), seg(pok), jnp.arange(n_chunks, dtype=jnp.int32) * ch),
     )
+    hit_t = zbest < 1e9
+    fid_t = jnp.where(hit_t, jnp.take_along_axis(bins_p, sbest, axis=1), -1)
 
-    def untile(x):
-        # [th*tw, tile, tile, ...] -> [H, W, ...]
-        x = x.reshape((th, tw) + x.shape[1:])
-        x = jnp.moveaxis(x, 2, 1).reshape((H, W) + x.shape[4:])
-        return x
+    def untile(x):  # [T, p(=tile*tile)] -> [H, W]
+        x = x.reshape(th, tw, tile, tile)
+        return jnp.moveaxis(x, 2, 1).reshape(H, W)
+
+    hit = untile(hit_t)
+    fid = untile(fid_t)
+
+    # ---- pass 2: differentiable per-pixel recompute from the winner --------
+    # Gradients flow to the winning face's vertices through barycentrics,
+    # depth, and the signed edge distance — exactly the quantities the old
+    # per-tile argmin-gather produced, at O(H*W) cost.
+    f = jnp.maximum(fid, 0)
+    axy = tri_xy[f]  # [H, W, 3, 2]
+    az = tri_z[f]  # [H, W, 3]
+    aw = tri_w[f]  # [H, W, 3]
+    a, b, c = axy[..., 0, :], axy[..., 1, :], axy[..., 2, :]
+    Qx = jnp.broadcast_to((jnp.arange(W) + 0.5)[None, :], (H, W))
+    Qy = jnp.broadcast_to((jnp.arange(H) + 0.5)[:, None], (H, W))
+
+    def edge_px(p0, p1):
+        d = p1 - p0  # [H, W, 2]
+        return d[..., 0] * (Qy - p0[..., 1]) - d[..., 1] * (Qx - p0[..., 0])
+
+    e0 = edge_px(b, c)
+    e1 = edge_px(c, a)
+    e2 = edge_px(a, b)
+    area = e0 + e1 + e2  # [H, W]
+    denom = jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
+    w0, w1, w2 = e0 / denom, e1 / denom, e2 / denom
+    z = w0 * az[..., 0] + w1 * az[..., 1] + w2 * az[..., 2]
+    bary = jnp.stack([w0, w1, w2], axis=-1)  # [H, W, 3]
+
+    def elen(p0, p1):
+        # eps INSIDE the sqrt: d(sqrt(s+eps))/dp is 0 at p1==p0, whereas
+        # norm() has a 0/0 = NaN gradient there — padding faces (all
+        # verts = index 0) would poison the whole backward pass through
+        # the 0-cotangent-times-NaN-partial trap
+        return jnp.sqrt(jnp.sum((p1 - p0) ** 2, axis=-1) + 1e-12)  # [H, W]
+
+    d = jnp.minimum(
+        e0 / elen(b, c), jnp.minimum(e1 / elen(c, a), e2 / elen(a, b))
+    ) * jnp.sign(area)
+    edge_d = jnp.where(hit, d, 0.0)
+    # perspective correction: w_pc_i = (w_i / w_clip_i) / sum
+    bw = bary / aw
+    bary_pc = bw / jnp.maximum(bw.sum(-1, keepdims=True), 1e-12)
+    bary_pc = jnp.where(hit[..., None], bary_pc, 0.0)
 
     return RasterOut(
-        face_id=untile(fid_t),
-        bary=untile(bary_t),
-        depth=untile(z_t),
-        mask=untile(hit_t),
-        edge_dist=untile(ed_t),
+        face_id=fid,
+        bary=bary_pc,
+        depth=jnp.where(hit, z, 1e10),
+        mask=hit,
+        edge_dist=edge_d,
         n_span_overflow=n_span_ovf,
         n_list_overflow=n_list_ovf,
     )
