@@ -212,10 +212,38 @@ def main() -> None:
     if "pts" in stages:
         timeit(f"pointwise field eval fwd ({n_prop / 1e6:.2f}M pts)",
                pts_eval, params_train, params_frozen, space_cache, pts_prop)
+    if "ptsb" in stages:
+        # backward w.r.t. trainables + space cache: the grid_sample VJP is a
+        # scatter-add into the planes — the suspected volume-branch bwd cost
+        timeit(f"pointwise field eval fwd+bwd ({n_prop / 1e6:.2f}M pts)",
+               jax.grad(pts_eval, argnums=(0, 2)),
+               params_train, params_frozen, space_cache, pts_prop)
     if "ptsn" in stages:
         pts_fin = pts_prop[:, : n_prop // 2 // space_cache.shape[0]]
         timeit(f"pointwise SDF-normal grad ({pts_fin.shape[1] / 1e6:.2f}M pts)",
                pts_eval_normal, params_train, params_frozen, space_cache, pts_fin)
+    if "ptsnb" in stages:
+        pts_fin = pts_prop[:, : n_prop // 2 // space_cache.shape[0]]
+        timeit(f"pointwise SDF-normal grad fwd+bwd ({pts_fin.shape[1] / 1e6:.2f}M pts)",
+               jax.grad(
+                   lambda *a: pts_eval_normal(*a), argnums=(0, 2)
+               ),
+               params_train, params_frozen, space_cache, pts_fin)
+    if "sampling" in stages:
+        # importance-sampling machinery alone (searchsorted + per-ray sort)
+        # with a trivial analytic density — no field eval
+        from triplaneturbo_tpu.ops.ray import importance_sampling as _imps
+
+        n_rays = batch["rays_o"].shape[0] * 32 * 32
+
+        def sampling_only(k):
+            def sigma_fn(ts, te):
+                return jnp.exp(-((ts + te) * 0.5 - 2.0) ** 2)
+
+            ts_, te_ = _imps(sigma_fn, n_rays, 128, 64, 0.1, 4.0, key=k)
+            return ts_.sum() + te_.sum()
+
+        timeit(f"importance-sampling machinery ({n_rays} rays)", sampling_only, key)
 
     def branch2_loss(pt, pf, batch_, sc, embeds_, scalars_, gimg_, k):
         p = combine_params(pt, pf)

@@ -67,14 +67,22 @@ def sample_pdf(
         u = jnp.broadcast_to((jnp.arange(n) + 0.5) / n, (Nr, n))
     u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
 
-    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdfs, u)
-    idx0 = jnp.clip(idx - 1, 0, cdfs.shape[-1] - 1)
-    idx1 = jnp.clip(idx, 0, cdfs.shape[-1] - 1)
+    # searchsorted(side="right") as a dense compare-count: per-ray tables are
+    # tiny (K+1 <= 129), so one [Nr, n, K+1] comparison beats the vmapped
+    # binary search — log2(K) ROUNDS of random gathers at ~8 ns each on v5e
+    # (see CLAUDE.md) — and the four take_along_axis interval lookups become
+    # ONE one-hot contraction (MXU) against the stacked tables.
+    K1 = cdfs.shape[-1]
+    idx = (u[..., None] >= cdfs[..., None, :]).sum(-1)
+    idx1 = jnp.clip(idx, 0, K1 - 1)
+    oh = (idx1[..., None] == jnp.arange(K1)).astype(cdfs.dtype)  # [Nr, n, K+1]
 
-    c0 = jnp.take_along_axis(cdfs, idx0, axis=-1)
-    c1 = jnp.take_along_axis(cdfs, idx1, axis=-1)
-    b0 = jnp.take_along_axis(bins, idx0, axis=-1)
-    b1 = jnp.take_along_axis(bins, idx1, axis=-1)
+    def prev(x):  # x[i-1] with edge clamp — pairs each table with onehot(idx1)
+        return jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+
+    tabs = jnp.stack([cdfs, prev(cdfs), bins, prev(bins)], axis=-1)  # [Nr,K+1,4]
+    vals = jnp.einsum("rnk,rkf->rnf", oh, tabs)
+    c1, c0, b1, b0 = vals[..., 0], vals[..., 1], vals[..., 2], vals[..., 3]
 
     denom = jnp.where(jnp.abs(c1 - c0) < 1e-12, 1.0, c1 - c0)
     t = jnp.clip((u - c0) / denom, 0.0, 1.0)

@@ -383,19 +383,25 @@ class TriplaneTurboTrainer:
             def ungroup(x):
                 return x.reshape(B, M, *x.shape[2:])
 
-            out = self.geometry.apply(params["geometry"], pts, space_cache)
-            out = {k: ungroup(v) for k, v in out.items()}
             if with_normal:
-                def sdf_fn(p):
-                    return self.geometry.apply(
-                        params["geometry"], p, space_cache, method=self.geometry.forward_sdf
-                    ).sum()
+                # one primal + one VJP: the sdf input-gradient (analytic
+                # normal) reuses the primal's plane taps as residuals, where a
+                # separate forward_sdf apply would re-gather all geo taps
+                # (~12 row-gathers/pt, the dominant field cost on v5e)
+                def f(p):
+                    o = self.geometry.apply(params["geometry"], p, space_cache)
+                    return o["sdf"].sum(), o
 
-                grad = ungroup(jax.grad(sdf_fn)(pts))
+                (_, out), grad = jax.value_and_grad(f, has_aux=True)(pts)
+                out = {k: ungroup(v) for k, v in out.items()}
+                grad = ungroup(grad)
                 out["sdf_grad"] = grad
                 out["normal"] = grad / jnp.maximum(
                     jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-8
                 )
+            else:
+                out = self.geometry.apply(params["geometry"], pts, space_cache)
+                out = {k: ungroup(v) for k, v in out.items()}
             out["features"] = self.material_fn(out["features"])
             return out
 
