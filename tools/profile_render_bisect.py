@@ -229,6 +229,45 @@ def main() -> None:
                    lambda *a: pts_eval_normal(*a), argnums=(0, 2)
                ),
                params_train, params_frozen, space_cache, pts_fin)
+    if "bg" in stages:
+        # hashgrid background at mesh-branch pixel count (4 views x 256²):
+        # 8 levels x 8 trilinear corners = 64 row-gathers/dir fwd, scatter-adds
+        # into the 2^19 table bwd
+        nv_ = batch["rays_d_rasterize"].shape[0]
+        Hh = batch["rays_d_rasterize"].shape[1]
+        dirs = jax.random.normal(key, (nv_, 256, 256, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+        def bg_loss(pt, pf, dirs_):
+            p = combine_params(pt, pf)
+            rgb = trainer.background.apply(
+                p["background"], dirs_, embeds["global_21"], train=True
+            )
+            return rgb.sum()
+
+        timeit(f"background hashgrid fwd ({nv_}x256²)",
+               bg_loss, params_train, params_frozen, dirs)
+        timeit(f"background hashgrid fwd+bwd ({nv_}x256²)",
+               jax.grad(bg_loss, argnums=(0,)), params_train, params_frozen, dirs)
+    if "exp" in stages:
+        # texture export at mesh-branch pixel count
+        n_exp = batch["rays_d_rasterize"].shape[0] * 256 * 256
+        pts_exp = jax.random.uniform(
+            key, (space_cache.shape[0], n_exp // space_cache.shape[0], 3),
+            minval=-0.8, maxval=0.8,
+        )
+
+        def exp_loss(pt, pf, sc, pts):
+            p = combine_params(pt, pf)
+            return geometry.apply(
+                p["geometry"], pts, sc, method=geometry.export
+            )["features"].sum()
+
+        timeit(f"export field fwd ({n_exp / 1e6:.2f}M pts)",
+               exp_loss, params_train, params_frozen, space_cache, pts_exp)
+        timeit(f"export field fwd+bwd ({n_exp / 1e6:.2f}M pts)",
+               jax.grad(exp_loss, argnums=(0, 2)),
+               params_train, params_frozen, space_cache, pts_exp)
     if "sampling" in stages:
         # importance-sampling machinery alone (searchsorted + per-ray sort)
         # with a trivial analytic density — no field eval
