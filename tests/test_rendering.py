@@ -161,6 +161,57 @@ def test_hashgrid_encoding():
     assert float(jnp.abs(d).max()) < 1e-3
 
 
+def test_hashgrid_grad_modes_match_autodiff():
+    """Every table-gradient strategy of the custom VJP must equal plain
+    autodiff through the gather+lerp forward (same forward, no custom_vjp).
+    Mix of dense-indexed (coarse) and hashed (fine) levels, with heavy index
+    collisions (N >> coarse table sizes)."""
+    from triplaneturbo_tpu.ops.hashgrid import _encode_fwd_core, hashgrid_encode
+
+    base = HashGridConfig(n_levels=5, log2_hashmap_size=10, base_resolution=2,
+                          per_level_scale=2.0)
+    T = 1 << base.log2_hashmap_size
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (4096, 3))
+    table = jax.random.normal(jax.random.PRNGKey(4),
+                              (base.n_levels, T, base.n_features_per_level))
+    cot = jax.random.normal(jax.random.PRNGKey(5),
+                            (4096, base.n_output_dims))
+
+    def ref_loss(t, xx):
+        return jnp.sum(_encode_fwd_core(t.reshape(-1, t.shape[-1]), xx, base) * cot)
+
+    g_ref_t, g_ref_x = jax.grad(ref_loss, argnums=(0, 1))(table, x)
+
+    for mode in ("scatter", "sorted_scatter", "sort"):
+        cfg = HashGridConfig(n_levels=5, log2_hashmap_size=10, base_resolution=2,
+                             per_level_scale=2.0, grad_mode=mode)
+        out = hashgrid_encode(table, x, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_encode_fwd_core(
+                table.reshape(-1, table.shape[-1]), x, base)), rtol=1e-6)
+        g_t, g_x = jax.grad(
+            lambda t, xx: jnp.sum(hashgrid_encode(t, xx, cfg) * cot),
+            argnums=(0, 1))(table, x)
+        np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_ref_t),
+                                   rtol=2e-4, atol=2e-4, err_msg=mode)
+        np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_ref_x),
+                                   rtol=2e-4, atol=2e-4, err_msg=mode)
+
+
+def test_hashgrid_dense_levels_are_collision_free():
+    """Levels whose (res+1)^3 fits the table must use dense indexing (tcnn
+    grid_index parity): two distinct coarse cells never share a row."""
+    from triplaneturbo_tpu.ops.hashgrid import _level_indices_weights
+
+    res, T = 4, 1 << 19
+    grid = jnp.stack(jnp.meshgrid(*[jnp.linspace(0.05, 0.95, res)] * 3,
+                                  indexing="ij"), -1).reshape(-1, 3)
+    idx, _ = _level_indices_weights(grid, res, T)
+    # all 8 corners of all cells, deduped, must count (res+1)^3 distinct rows
+    assert len(np.unique(np.asarray(idx))) == (res + 1) ** 3
+
+
 def test_volume_renderer_field_chunk_equivalence():
     """field_chunk (lax.map + per-chunk remat over ray samples) must be a pure
     memory knob: outputs and gradients identical to the fused evaluation."""

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Bisect the full-size step-1 NaN on the real chip.
+
+The 30-step on-chip run of configs/triplaneturbo_v1_1chip.yaml produced a
+finite step 0 (loss 31531, grad_norm 147) and NaN from step 1 on, with
+teacher-side grad_norm 0.0 — i.e. the RENDER stage's guidance images went
+NaN (the ASD nan_to_num guard then zeroes the image gradient, reference
+parity: threestudio guidance does the same). gradient_accumulation_steps=2
+means optax.MultiSteps had NOT yet touched the params at step 1: the forward
+NaNs for some (batch, noise, key) at INIT. This tool replays the exact
+launch.py input sequence (same seed/fold_in/sample order) and runs ONLY the
+forward render stage per step/part, reporting which output goes non-finite
+first (denoised latent / space cache / which guidance image, which branch).
+
+Usage: python tools/diagnose_nan.py [--config ...] [--steps 3] [dotlist...]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def finite_report(name, x):
+    x = np.asarray(jax.device_get(x)).astype(np.float32)
+    n_bad = int(np.size(x) - np.isfinite(x).sum())
+    mx = float(np.nanmax(np.abs(x))) if np.isfinite(x).any() else float("nan")
+    flag = "" if n_bad == 0 else f"  <-- {n_bad}/{x.size} NON-FINITE"
+    print(f"    {name:28s} max|x|={mx:12.4e}{flag}")
+    sys.stdout.flush()
+    return n_bad
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/triplaneturbo_v1_1chip.yaml")
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("extras", nargs="*")
+    args = ap.parse_args()
+
+    from triplaneturbo_tpu.systems.builder import build_system
+    from triplaneturbo_tpu.systems.trainer import sample_timesteps
+    from triplaneturbo_tpu.systems.prompt_setup import build_prompt_setup
+    from triplaneturbo_tpu.data import DataModuleConfig, MultiviewMultipromptDataModule
+    from triplaneturbo_tpu.utils import load_config, parse_structured
+
+    cfg = load_config(args.config, cli_args=args.extras, n_devices=jax.device_count())
+    dm = MultiviewMultipromptDataModule(
+        parse_structured(DataModuleConfig, cfg.get("data", {})), seed=args.seed
+    )
+    trainer = build_system(cfg, seed=args.seed)
+    processor, embeds_for = build_prompt_setup(
+        trainer.geometry.cfg.space_generator.cross_attention_dim,
+        seed=args.seed,
+        negative_prompt=cfg.get("data", {}).get("negative_prompt", ""),
+    )
+    key = jax.random.PRNGKey(args.seed)
+
+    for step in range(args.steps):
+        batch_list = dm.sample_train_batch()
+        prompts = batch_list[0]["prompt"]
+        text_embeds = embeds_for(prompts)
+        kstep = jax.random.fold_in(key, step)
+        trainer.global_step = step
+        ts = sample_timesteps(
+            trainer.all_timesteps, trainer.cfg.num_parts_training, trainer.rng
+        )
+        scalars = trainer.host_scalars()
+        batch_list = [
+            {k: jnp.asarray(v) for k, v in b.items() if not isinstance(v, (list, str))}
+            for b in batch_list
+        ]
+        keys = jax.random.split(kstep, trainer.cfg.num_parts_training)
+        latent = batch_list[0]["noise"]
+        print(f"== step {step} (prompt: {prompts[0][:50]!r}, t={list(ts)})")
+        for part in range(trainer.cfg.num_parts_training):
+            batch = {k: v for k, v in batch_list[part].items() if k != "noise"}
+            latent, space_cache, images = trainer._stage_render_jit(
+                trainer.params, batch, latent,
+                jnp.asarray(ts, jnp.int32)[part], text_embeds, scalars, keys[part],
+            )
+            print(f"  part {part}:")
+            bad = finite_report("denoised latent", latent)
+            bad += finite_report("space_cache", space_cache)
+            for k_, v in images.items():
+                bad += finite_report(f"images[{k_}]", v)
+            if bad:
+                print("  FIRST NON-FINITE at this part; stopping this step")
+                break
+    print("DONE")
+
+
+if __name__ == "__main__":
+    main()
