@@ -99,3 +99,36 @@ def test_grid_sample_grad2_finite_difference():
     # derivative of the sample is 0 along each axis but cross terms survive.
     np.testing.assert_allclose(np.asarray(g2), fd, atol=1e-2, rtol=1e-2)
     assert np.isfinite(l0)
+
+
+def test_grid_sample_2d_packed_matches_unpacked():
+    """The pack-2x2 one-gather path must reproduce grid_sample_2d exactly,
+    including zero padding at every out-of-bounds corner combination, and its
+    gradients (features and grid) must match."""
+    from triplaneturbo_tpu.ops.grid_sample import grid_sample_2d_packed, pack_2x2
+
+    key = jax.random.PRNGKey(0)
+    feats = jax.random.normal(key, (2, 7, 5, 6))
+    # in-bounds, straddling every border, and fully outside
+    grid = jnp.concatenate(
+        [
+            jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 2), minval=-1, maxval=1),
+            jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 2), minval=-1.4, maxval=1.4),
+            jnp.asarray([[[-3.0, 0.2], [3.0, 0.2], [0.2, -3.0], [0.2, 3.0]]] * 2),
+        ],
+        axis=1,
+    )
+    ref = grid_sample_2d(feats, grid)
+    out = grid_sample_2d_packed(pack_2x2(feats), grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+    cot = jax.random.normal(jax.random.PRNGKey(3), ref.shape)
+    gf_ref, gg_ref = jax.grad(
+        lambda f, g: jnp.sum(grid_sample_2d(f, g) * cot), argnums=(0, 1)
+    )(feats, grid)
+    gf, gg = jax.grad(
+        lambda f, g: jnp.sum(grid_sample_2d_packed(pack_2x2(f), g) * cot),
+        argnums=(0, 1),
+    )(feats, grid)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gg_ref), rtol=1e-5, atol=1e-5)

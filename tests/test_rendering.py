@@ -207,7 +207,7 @@ def test_hashgrid_dense_levels_are_collision_free():
     res, T = 4, 1 << 19
     grid = jnp.stack(jnp.meshgrid(*[jnp.linspace(0.05, 0.95, res)] * 3,
                                   indexing="ij"), -1).reshape(-1, 3)
-    idx, _ = _level_indices_weights(grid, res, T)
+    idx, _ = _level_indices_weights(grid, res, T, dense=True)
     # all 8 corners of all cells, deduped, must count (res+1)^3 distinct rows
     assert len(np.unique(np.asarray(idx))) == (res + 1) ** 3
 

@@ -7,23 +7,26 @@ background (/root/reference/custom/triplaneturbo/models/background/
 multi_prompt_neural_environment_hashgrid_map_background.py:24-31: 8 levels x
 2 features, 2^19 table, base res 4, growth 1.8114 -> 256).
 
-Two TPU-specific deviations from a naive translation, both matching or
-approximating tcnn's own behavior:
+TPU-specific design (the naive translation spends the whole backward in
+colliding scatter-adds — measured ~840 ms at the v1 recipe's mesh-branch
+pixel count, benchmarks/render_bisect_r4_bgexp.txt):
 
-- Levels whose dense grid fits the table use dense (collision-free) indexing
-  instead of the spatial hash, exactly like tcnn's grid_index (tiny-cuda-nn
-  uses the hash only when (res+1)^3 > hashmap_size).
-- The table gradient is a custom VJP. The trilinear-corner scatter-add is the
-  dominant cost of the training-time background backward on TPU (measured
-  ~840 ms for 16.8M colliding updates at the v1 recipe's mesh-branch pixel
-  count, benchmarks/render_bisect_r4_bgexp.txt); XLA's scatter serializes
-  colliding updates, and coarse levels collide massively (level 0 has 125
-  distinct rows). `HashGridConfig.grad_mode` selects the strategy:
-  "scatter" (plain XLA scatter-add), "sorted_scatter" (one global sort of
-  (row, update) pairs, then a scatter-add with the sorted hint), or "sort"
-  (fully scatter-free: sort, segment sums via cumsum differences, two
-  unique-index placement scatters). All are exact; the numeric results
-  differ only by f32 summation order.
+- Levels whose dense grid fits the table use dense (collision-free) indexing,
+  matching tcnn's grid_index (tiny-cuda-nn hashes only when
+  (res+1)^3 > hashmap_size). With the default config that is levels 0-5;
+  only the two finest levels hash.
+- Dense levels are sampled through a PACKED cell table: the 8 corner rows of
+  every cell are materialized side by side ((res+1)^3 x 8F, edge-clamped like
+  the corner clip), so each query is ONE row gather instead of eight, and the
+  autodiff backward is one 8F-row scatter per query plus slice adjoints.
+  Random row-gathers on v5e cost ~10 ns each regardless of row width
+  (CLAUDE.md), so this cuts both directions ~8x on those levels.
+- Hashed levels go through a custom VJP whose table gradient strategy is
+  selectable (``HashGridConfig.grad_mode``): "scatter" (plain XLA
+  scatter-add), "sorted_scatter" (one global sort of (row, update) pairs,
+  then a scatter-add with the sorted hint), or "sort" (fully scatter-free:
+  sort, segment sums via cumsum differences, two unique-index placement
+  scatters). All exact; picked by tools/microbench_hashgrid.py on chip.
 """
 
 from __future__ import annotations
@@ -51,8 +54,7 @@ class HashGridConfig:
     log2_hashmap_size: int = 19
     base_resolution: int = 4
     per_level_scale: float = 1.8114473285278132
-    # table-gradient strategy: "scatter" | "sorted_scatter" | "sort"
-    # (see module docstring; default picked by tools/microbench_hashgrid.py)
+    # hashed-level table-gradient strategy (see module docstring)
     grad_mode: str = "scatter"
 
     @property
@@ -66,22 +68,28 @@ class HashGridConfig:
             for lvl in range(self.n_levels)
         )
 
+    def is_dense(self, res: int) -> bool:
+        return (res + 1) ** 3 <= (1 << self.log2_hashmap_size)
 
-def _level_indices_weights(x: jax.Array, res: int, T: int):
-    """Corner rows + trilinear weights for one level.
 
-    x: (N, 3) in [0, 1]. Returns idx (N, 8) int32 in [0, T), w (N, 8) f32.
-    Dense indexing when the level's grid fits the table (tcnn grid_index
-    parity), spatial hash otherwise.
-    """
+def _corner_weights(x: jax.Array, res: int) -> jax.Array:
+    """Trilinear corner weights, (N, 8), corner order = _OFFSETS."""
+    pos = x * res
+    frac = (pos - jnp.floor(pos)).astype(jnp.float32)
+    off = jnp.asarray(_OFFSETS, dtype=jnp.float32)  # (8, 3)
+    return jnp.prod(
+        off[None] * frac[:, None, :] + (1.0 - off[None]) * (1.0 - frac[:, None, :]),
+        axis=-1,
+    )
+
+
+def _level_indices_weights(x: jax.Array, res: int, T: int, dense: bool):
+    """Per-corner rows + weights for one level: idx (N, 8) int32 in [0, T)."""
     pos = x * res
     p0 = jnp.floor(pos).astype(jnp.int32)
-    frac = (pos - p0).astype(jnp.float32)
-
     off = jnp.asarray(_OFFSETS, dtype=jnp.int32)  # (8, 3)
     corner = jnp.clip(p0[:, None, :] + off[None], 0, res)  # (N, 8, 3)
-
-    if (res + 1) ** 3 <= T:
+    if dense:
         stride = res + 1
         idx = corner[..., 0] + stride * (corner[..., 1] + stride * corner[..., 2])
     else:
@@ -92,37 +100,81 @@ def _level_indices_weights(x: jax.Array, res: int, T: int):
             ^ c[..., 2] * jnp.uint32(_PRIMES[2])
         ) % jnp.uint32(T)
         idx = h.astype(jnp.int32)
-
-    offf = off.astype(jnp.float32)  # (8, 3)
-    w = jnp.prod(
-        offf[None] * frac[:, None, :] + (1.0 - offf[None]) * (1.0 - frac[:, None, :]),
-        axis=-1,
-    )  # (N, 8)
-    return idx, w
+    return idx, _corner_weights(x, res)
 
 
-def _flat_indices_weights(x: jax.Array, cfg: HashGridConfig):
-    """(N, L, 8) rows into the flattened (L*T, F) table + weights."""
+def _encode_fwd_core(table_flat: jax.Array, x: jax.Array, cfg: HashGridConfig):
+    """Naive gather-per-corner forward (the reference semantics; kept as the
+    autodiff oracle for tests and as the hashed-level primal)."""
+    T = 1 << cfg.log2_hashmap_size
+    F = table_flat.shape[-1]
+    feats = []
+    for lvl, res in enumerate(cfg.resolutions):
+        idx, w = _level_indices_weights(x, res, T, cfg.is_dense(res))
+        rows = table_flat[idx + lvl * T]  # (N, 8, F)
+        feats.append(jnp.sum(rows * w[..., None], axis=1))
+    return jnp.concatenate(feats, axis=-1).reshape(x.shape[0], cfg.n_output_dims)
+
+
+# ----------------------------------------------------------------------
+# dense levels: packed-cell sampling (autodiff-native)
+# ----------------------------------------------------------------------
+
+
+def _pack_dense_level(level_rows: jax.Array, res: int) -> jax.Array:
+    """(T, F) level rows -> ((res+1)^3, 8F) packed cell table.
+
+    Cell p0 holds the 8 corner rows f[clip(p0+off, 0, res)] side by side
+    (edge padding reproduces the corner clip exactly)."""
+    s = res + 1
+    F = level_rows.shape[-1]
+    g = level_rows[: s**3].reshape(s, s, s, F)  # [z, y, x, F]
+    p = jnp.pad(g, ((0, 1), (0, 1), (0, 1), (0, 0)), mode="edge")
+    slots = [p[dz : dz + s, dy : dy + s, dx : dx + s] for (dx, dy, dz) in _OFFSETS]
+    return jnp.concatenate(slots, axis=-1).reshape(s**3, 8 * F)
+
+
+def _dense_level_encode(level_rows: jax.Array, x: jax.Array, res: int):
+    """One packed row-gather per query for a dense level -> (N, F)."""
+    s = res + 1
+    F = level_rows.shape[-1]
+    packed = _pack_dense_level(level_rows, res)
+    pos = x * res
+    p0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res)
+    cell = p0[..., 0] + s * (p0[..., 1] + s * p0[..., 2])  # (N,)
+    rows = packed[cell].reshape(-1, 8, F)
+    w = _corner_weights(x, res)
+    return jnp.sum(rows * w[..., None], axis=1)
+
+
+# ----------------------------------------------------------------------
+# hashed levels: custom VJP with selectable table-gradient strategy
+# ----------------------------------------------------------------------
+
+
+def _hashed_levels(cfg: HashGridConfig):
+    return [
+        (lvl, res)
+        for lvl, res in enumerate(cfg.resolutions)
+        if not cfg.is_dense(res)
+    ]
+
+
+def _hashed_indices_weights(x: jax.Array, cfg: HashGridConfig):
+    """(N, Lh, 8) rows into the flattened (L*T, F) table + weights."""
     T = 1 << cfg.log2_hashmap_size
     idxs, ws = [], []
-    for lvl, res in enumerate(cfg.resolutions):
-        idx, w = _level_indices_weights(x, res, T)
+    for lvl, res in _hashed_levels(cfg):
+        idx, w = _level_indices_weights(x, res, T, False)
         idxs.append(idx + lvl * T)
         ws.append(w)
     return jnp.stack(idxs, axis=1), jnp.stack(ws, axis=1)
 
 
-def _encode_fwd_core(table_flat: jax.Array, x: jax.Array, cfg: HashGridConfig):
-    idx, w = _flat_indices_weights(x, cfg)  # (N, L, 8)
-    rows = table_flat[idx]  # (N, L, 8, F)
-    feats = jnp.sum(rows * w[..., None], axis=2)  # (N, L, F)
-    return feats.reshape(x.shape[0], cfg.n_output_dims)
-
-
 def _table_grad_scatter(g_lvl, idx, w, shape):
     """Plain XLA scatter-add of all corner updates (baseline)."""
     upd = (w[..., None] * g_lvl[:, :, None, :]).reshape(-1, shape[1])
-    return jnp.zeros(shape, g_lvl.dtype).at[idx.reshape(-1)].add(upd)
+    return jnp.zeros(shape, jnp.float32).at[idx.reshape(-1)].add(upd)
 
 
 def _sorted_updates(g_lvl, idx, w, F):
@@ -142,8 +194,7 @@ def _table_grad_sort(g_lvl, idx, w, shape):
     grad[t] = csum[end_t] - (csum[start_t] - vals[start_t]); every table row
     is one contiguous run after the sort, so end/start positions are unique
     per row. Non-boundary positions are masked to an out-of-bounds index and
-    dropped.
-    """
+    dropped."""
     S, F = shape
     skeys, svals = _sorted_updates(g_lvl, idx, w, F)
     csum = jnp.cumsum(svals, axis=0)  # (M, F)
@@ -157,7 +208,7 @@ def _table_grad_sort(g_lvl, idx, w, shape):
     out = out.at[jnp.where(is_start, skeys, S)].add(
         svals - csum, mode="drop", unique_indices=True
     )
-    return out.astype(g_lvl.dtype)
+    return out
 
 
 def _table_grad_sorted_scatter(g_lvl, idx, w, shape):
@@ -165,25 +216,27 @@ def _table_grad_sorted_scatter(g_lvl, idx, w, shape):
     XLA's lowering segment the colliding updates)."""
     skeys, svals = _sorted_updates(g_lvl, idx, w, shape[1])
     out = jnp.zeros(shape, jnp.float32)
-    return out.at[skeys].add(svals, indices_are_sorted=True).astype(g_lvl.dtype)
+    return out.at[skeys].add(svals, indices_are_sorted=True)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
-def hashgrid_encode(table: jax.Array, x: jax.Array, cfg: HashGridConfig):
-    """table (L, T, F), x (N, 3) in [0,1] -> (N, L*F)."""
+def _hashed_encode(table: jax.Array, x: jax.Array, cfg: HashGridConfig):
+    """Hashed levels only: table (L, T, F), x (N, 3) -> (N, Lh, F)."""
     L, T, F = table.shape
-    return _encode_fwd_core(table.reshape(L * T, F), x, cfg)
+    idx, w = _hashed_indices_weights(x, cfg)  # (N, Lh, 8)
+    rows = table.reshape(L * T, F)[idx]  # (N, Lh, 8, F)
+    return jnp.sum(rows * w[..., None], axis=2)
 
 
-def _hashgrid_encode_fwd(table, x, cfg):
-    return hashgrid_encode(table, x, cfg), (table, x)
+def _hashed_encode_fwd(table, x, cfg):
+    return _hashed_encode(table, x, cfg), (table, x)
 
 
-def _hashgrid_encode_bwd(cfg, res, g):
+def _hashed_encode_bwd(cfg, res, g):
     table, x = res
     L, T, F = table.shape
-    idx, w = _flat_indices_weights(x, cfg)  # (N, L, 8)
-    g_lvl = g.reshape(-1, L, F)
+    idx, w = _hashed_indices_weights(x, cfg)  # (N, Lh, 8)
+    g_lvl = g.astype(jnp.float32)  # (N, Lh, F)
 
     if cfg.grad_mode == "sort":
         d_flat = _table_grad_sort(g_lvl, idx, w, (L * T, F))
@@ -191,17 +244,16 @@ def _hashgrid_encode_bwd(cfg, res, g):
         d_flat = _table_grad_sorted_scatter(g_lvl, idx, w, (L * T, F))
     else:
         d_flat = _table_grad_scatter(g_lvl, idx, w, (L * T, F))
-    d_table = d_flat.reshape(L, T, F)
+    d_table = d_flat.reshape(L, T, F).astype(table.dtype)
 
-    # d_x: differentiate the lerp weights (exact; linear in table rows)
-    rows = table.reshape(L * T, F)[idx]  # (N, L, 8, F)
-    gr = jnp.sum(rows * g_lvl[:, :, None, :], axis=-1)  # (N, L, 8) = dL/dw
+    # d_x: differentiate the lerp weights (the table rows are linear taps)
+    rows = table.reshape(L * T, F)[idx]  # (N, Lh, 8, F)
+    gr = jnp.sum(rows * g_lvl[:, :, None, :], axis=-1)  # (N, Lh, 8) = dL/dw
     d_x = jnp.zeros_like(x)
     off = jnp.asarray(_OFFSETS, dtype=jnp.float32)  # (8, 3)
-    for lvl, r in enumerate(cfg.resolutions):
+    for li, (lvl, r) in enumerate(_hashed_levels(cfg)):
         pos = x * r
-        p0 = jnp.floor(pos)
-        frac = (pos - p0).astype(jnp.float32)  # (N, 3)
+        frac = (pos - jnp.floor(pos)).astype(jnp.float32)  # (N, 3)
         lin = off[None] * frac[:, None, :] + (1.0 - off[None]) * (
             1.0 - frac[:, None, :]
         )  # (N, 8, 3) per-dim lerp factors
@@ -209,11 +261,28 @@ def _hashgrid_encode_bwd(cfg, res, g):
         for d in range(3):
             others = [j for j in range(3) if j != d]
             dw = dlin[..., d] * lin[..., others[0]] * lin[..., others[1]]
-            d_x = d_x.at[:, d].add(jnp.sum(gr[:, lvl, :] * dw, axis=-1) * r)
+            d_x = d_x.at[:, d].add(jnp.sum(gr[:, li, :] * dw, axis=-1) * r)
     return d_table, d_x.astype(x.dtype)
 
 
-hashgrid_encode.defvjp(_hashgrid_encode_fwd, _hashgrid_encode_bwd)
+_hashed_encode.defvjp(_hashed_encode_fwd, _hashed_encode_bwd)
+
+
+def hashgrid_encode(table: jax.Array, x: jax.Array, cfg: HashGridConfig):
+    """table (L, T, F), x (N, 3) in [0,1] -> (N, L*F)."""
+    hashed = dict(
+        zip(
+            [lvl for lvl, _ in _hashed_levels(cfg)],
+            jnp.moveaxis(_hashed_encode(table, x, cfg), 1, 0),
+        )
+    ) if _hashed_levels(cfg) else {}
+    feats = []
+    for lvl, res in enumerate(cfg.resolutions):
+        if cfg.is_dense(res):
+            feats.append(_dense_level_encode(table[lvl], x, res))
+        else:
+            feats.append(hashed[lvl])
+    return jnp.concatenate(feats, axis=-1).reshape(x.shape[0], cfg.n_output_dims)
 
 
 class HashGridEncoding(nn.Module):

@@ -23,7 +23,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .grid_sample import grid_sample_2d
+from .grid_sample import grid_sample_2d, grid_sample_2d_packed, pack_2x2
 
 
 def rotate_planes(space_cache: jax.Array, mode: Optional[str] = "v1") -> jax.Array:
@@ -108,8 +108,10 @@ def sample_from_planes(
     proj = project_onto_planes(coords)  # [N, M, 3, 2]
     proj = jnp.swapaxes(proj, 1, 2)  # [N, 3, M, 2]
 
-    feats = grid_sample_2d(
-        plane_features.reshape(N * 3, H, W, C),
+    # one packed row-gather per (plane, point) instead of four corner
+    # gathers: random row-gathers dominate point sampling on v5e
+    feats = grid_sample_2d_packed(
+        pack_2x2(plane_features.reshape(N * 3, H, W, C)),
         proj.reshape(N * 3, M, 2),
     ).reshape(N, 3, M, C)
 
@@ -148,8 +150,9 @@ def sample_from_quaplanes(
         ],
         axis=1,
     )  # [N, 4, M, 2]
-    feats = grid_sample_2d(
-        plane_features.reshape(N * 4, H, W, C), projs.reshape(N * 4, M, 2)
+    feats = grid_sample_2d_packed(
+        pack_2x2(plane_features.reshape(N * 4, H, W, C)),
+        projs.reshape(N * 4, M, 2),
     ).reshape(N, 4, M, C)
     xy, xz, zy_front, zy_back = feats[:, 0], feats[:, 1], feats[:, 2], feats[:, 3]
     if interpolate_feat in (None, "none"):
@@ -193,8 +196,9 @@ def sample_from_hplanes(
         ],
         axis=1,
     )
-    feats = grid_sample_2d(
-        plane_features.reshape(N * 3, H, W, C), projs.reshape(N * 3, M, 2)
+    feats = grid_sample_2d_packed(
+        pack_2x2(plane_features.reshape(N * 3, H, W, C)),
+        projs.reshape(N * 3, M, 2),
     ).reshape(N, 3, M, C)
     side, front_f, back_f = feats[:, 0], feats[:, 1], feats[:, 2]
     xe = x[..., None]
