@@ -47,6 +47,15 @@ def main() -> None:
     ap.add_argument("--config", default="configs/triplaneturbo_v1_1chip.yaml")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--stage", default="render", choices=["render", "teacher", "full"],
+        help="render: per-part forward finiteness; teacher: drill the three "
+        "guidance branches separately on the render stage's images; full: "
+        "run the REAL staged train_step with a checking dispatch that "
+        "verifies every program's outputs AND the param tree after each "
+        "program (catches buffer corruption by the backward programs that "
+        "forward-only replay cannot reproduce)",
+    )
     ap.add_argument("extras", nargs="*")
     args = ap.parse_args()
 
@@ -67,6 +76,95 @@ def main() -> None:
         negative_prompt=cfg.get("data", {}).get("negative_prompt", ""),
     )
     key = jax.random.PRNGKey(args.seed)
+
+    teacher_params = trainer.guidance.teacher_params()
+
+    def teacher_branches(tp, images, batch, text_embeds, scalars, k):
+        """Per-teacher, per-renderer fid values (mirrors _guidance_losses
+        with parallel_guidance=False) so the NaN teacher is identified."""
+        _, _, k_guid = jax.random.split(k, 3)
+        g = trainer.guidance.bind(tp)
+        k_mv, k_rd, k_sd = jax.random.split(k_guid, 3)
+        k1 = jax.random.split(k_mv, 2)
+        k2 = jax.random.split(k_rd, 2)
+        k3 = jax.random.split(k_sd, 2)
+        out = {}
+        for side_i, side in enumerate(("1st", "2nd")):
+            o = {name: images[f"{name}_{side}"] for name in trainer._GUIDANCE_IMAGE_KEYS}
+            mv_o = g.mv_branch(
+                k1[side_i], o["comp_rgb"], text_embeds["cond_21"],
+                text_embeds["uncond_21"], batch["c2w"],
+                scalars["mv_min_step"], scalars["mv_max_step"],
+                scalars["mv_guidance_scale"],
+            )
+            rd_o = g.rd_branch(
+                k2[side_i], o["comp_normal_cam_vis"], o["disparity"],
+                text_embeds["cond_15"], text_embeds["uncond_15"],
+                batch["c2w"], batch["camera_distances_relative"],
+                scalars["rd_min_step"], scalars["rd_max_step"],
+                scalars["rd_guidance_scale"],
+            )
+            sd_o = g.sd_branch(
+                k3[side_i], o["comp_rgb"], text_embeds["cond_21"],
+                text_embeds["uncond_21"], scalars["sd_min_step"],
+                scalars["sd_max_step"], scalars["sd_guidance_scale"],
+            )
+            out[f"mv_{side}"] = mv_o["loss_asd"]
+            out[f"mv_gn_{side}"] = mv_o["grad_norm"]
+            out[f"rd_{side}"] = rd_o["loss_asd"]
+            out[f"sd_{side}"] = sd_o["loss_asd"]
+        return out
+
+    teacher_branches_jit = jax.jit(teacher_branches)
+
+    if args.stage == "full":
+        # one jitted non-finite counter per tree structure (a fresh jit per
+        # structure would recompile; cache on the treedef + leaf shapes)
+        counters = {}
+
+        def count_bad(tree):
+            leaves = [
+                l for l in jax.tree_util.tree_leaves(tree)
+                if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+            ]
+            sig = tuple((l.shape, str(l.dtype)) for l in leaves)
+            if sig not in counters:
+                counters[sig] = jax.jit(
+                    lambda ls: sum(jnp.sum(~jnp.isfinite(l)) for l in ls)
+                )
+            return int(counters[sig](leaves))
+
+        orig_dispatch = trainer._dispatch
+        state = {"i": 0}
+
+        def checking_dispatch(fn, *fargs):
+            out = orig_dispatch(fn, *fargs)
+            label = getattr(fn, "__wrapped__", fn)
+            name = getattr(label, "__name__", str(fn))[:40]
+            bad_out = count_bad(out)
+            bad_par = count_bad(trainer.params)
+            flag = "" if bad_out == 0 and bad_par == 0 else "  <-- NON-FINITE"
+            print(f"    [{state['i']:02d}] {name:34s} out_bad={bad_out:8d} "
+                  f"params_bad={bad_par:6d}{flag}")
+            sys.stdout.flush()
+            state["i"] += 1
+            return out
+
+        trainer._dispatch = checking_dispatch
+        key = jax.random.PRNGKey(args.seed)
+        for step in range(args.steps):
+            batch_list = dm.sample_train_batch()
+            prompts = batch_list[0]["prompt"]
+            print(f"== step {step} (prompt: {prompts[0][:50]!r})")
+            state["i"] = 0
+            metrics = trainer.train_step(
+                batch_list, embeds_for(prompts), jax.random.fold_in(key, step)
+            )
+            print(f"  step {step}: loss={float(metrics['loss']):.4f} "
+                  f"grad_norm={float(metrics['grad_norm']):.4f}")
+            sys.stdout.flush()
+        print("DONE")
+        return
 
     for step in range(args.steps):
         batch_list = dm.sample_train_batch()
@@ -92,10 +190,19 @@ def main() -> None:
                 jnp.asarray(ts, jnp.int32)[part], text_embeds, scalars, keys[part],
             )
             print(f"  part {part}:")
-            bad = finite_report("denoised latent", latent)
-            bad += finite_report("space_cache", space_cache)
-            for k_, v in images.items():
-                bad += finite_report(f"images[{k_}]", v)
+            if args.stage == "teacher":
+                outs = teacher_branches_jit(
+                    teacher_params, images, batch, text_embeds, scalars,
+                    keys[part],
+                )
+                bad = 0
+                for k_, v in sorted(outs.items()):
+                    bad += finite_report(k_, v)
+            else:
+                bad = finite_report("denoised latent", latent)
+                bad += finite_report("space_cache", space_cache)
+                for k_, v in images.items():
+                    bad += finite_report(f"images[{k_}]", v)
             if bad:
                 print("  FIRST NON-FINITE at this part; stopping this step")
                 break

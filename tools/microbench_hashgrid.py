@@ -29,7 +29,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from triplaneturbo_tpu.ops.hashgrid import (
     HashGridConfig,
-    _flat_indices_weights,
+    _dense_level_encode,
+    _hashed_indices_weights,
     hashgrid_encode,
 )
 
@@ -73,14 +74,23 @@ def main() -> None:
             table,
         )
 
-    # per-level colliding scatter (coarse = collision-heavy, fine = sparse)
-    idx, w = jax.jit(lambda xx: _flat_indices_weights(xx, base))(x)
-    for lvl in (0, 3, 5, 7):
-        def lvl_scatter(gc, lv=lvl):
+    # dense packed level alone (fwd and fwd+bwd) at the finest dense res
+    res5 = base.resolutions[5]
+    timeit(f"dense packed level res={res5} fwd",
+           lambda t: _dense_level_encode(t[5], x, res5).sum(), table)
+    timeit(f"dense packed level res={res5} fwd+bwd",
+           jax.grad(lambda t: jnp.sum(
+               _dense_level_encode(t[5], x, res5)
+               * cot[:, 5 * F : 6 * F])), table)
+
+    # hashed-level colliding scatter baseline (per level)
+    idx, w = jax.jit(lambda xx: _hashed_indices_weights(xx, base))(x)
+    for li in range(idx.shape[1]):
+        def lvl_scatter(gc, lv=li):
             upd = (w[:, lv, :, None] * gc[:, lv, None, :]).reshape(-1, F)
-            return jnp.zeros((T, F)).at[(idx[:, lv] - lv * T).reshape(-1)].add(upd)
-        timeit(f"scatter level {lvl} ({2.1:.1f}M upd)", lvl_scatter,
-               cot.reshape(N, L, F))
+            return jnp.zeros((T, F)).at[(idx[:, lv] % T).reshape(-1)].add(upd)
+        timeit(f"scatter hashed level {li} (2.1M upd)", lvl_scatter,
+               cot.reshape(N, L, F)[:, -idx.shape[1]:])
 
     # raw primitives at the full 16.8M scale
     M = N * L * 8
