@@ -200,3 +200,36 @@ def test_mesh_vertex_tangents_torch_parity():
     # orthogonal to normals
     vn_ours = np.asarray(mesh.vertex_normals())
     assert np.abs((ours * vn_ours).sum(-1)).max() < 1e-5
+
+
+def test_safe_normalize_zero_row_gradients():
+    """x / max(||x||, eps) NaNs in backward at exactly-zero rows (0/0 norm
+    partial times zero cotangent) — the root cause of the full-size training
+    NaN (non-hit rasterizer pixels interpolate normals to exact zeros).
+    safe_normalize must give finite (zero) gradients there and match plain
+    normalization on regular rows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from triplaneturbo_tpu.utils.ops import safe_normalize
+
+    x = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 2.0, 3.0], [1e-12, 0.0, 0.0]])
+
+    # the unsafe pattern really does NaN (guards the test's own premise)
+    unsafe = lambda v: v / jnp.maximum(
+        jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8
+    )
+    g_unsafe = jax.grad(lambda v: unsafe(v).sum())(x)
+    assert not np.isfinite(np.asarray(g_unsafe)).all()
+
+    g = jax.grad(lambda v: safe_normalize(v).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
+    # zero rows give the bounded 1/eps partial (so a masked zero cotangent
+    # yields an exact zero contribution, never 0 * NaN)
+    assert float(np.abs(np.asarray(g[0])).max()) <= 2e8
+    # values match the plain normalize away from zero
+    np.testing.assert_allclose(
+        np.asarray(safe_normalize(x)[1]),
+        np.asarray(x[1] / jnp.linalg.norm(x[1])),
+        rtol=1e-6,
+    )

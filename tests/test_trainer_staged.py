@@ -130,8 +130,15 @@ def test_staged_step_matches_monolithic():
     s_flat, _ = jax.tree_util.tree_flatten(s_params)
     p0_flat, _ = jax.tree_util.tree_flatten(params0)
     changed = 0
+    n_bad = 0
     for m, s, p0 in zip(m_flat, s_flat, p0_flat):
+        # finiteness FIRST: assert_allclose treats NaN == NaN as equal
+        # (equal_nan default), which is exactly how the masked-NaN-gradient
+        # bug (zero-vector normalize backward, utils/ops.py safe_normalize)
+        # slipped through this test — both paths produced identical NaNs
+        n_bad += int((~np.isfinite(np.asarray(s, np.float32))).sum())
         np.testing.assert_allclose(s, m, rtol=5e-3, atol=5e-6)
         if not np.allclose(m, p0):
             changed += 1
+    assert n_bad == 0, f"{n_bad} non-finite params after one optimizer step"
     assert changed > 10, "optimizer must have updated trainable leaves"

@@ -48,7 +48,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
-        "--stage", default="render", choices=["render", "teacher", "full"],
+        "--stage", default="render",
+        choices=["render", "teacher", "full", "grads"],
         help="render: per-part forward finiteness; teacher: drill the three "
         "guidance branches separately on the render stage's images; full: "
         "run the REAL staged train_step with a checking dispatch that "
@@ -117,6 +118,78 @@ def main() -> None:
 
     teacher_branches_jit = jax.jit(teacher_branches)
 
+    if args.stage == "grads":
+        # leaf-level non-finite census of part-0's two branch backwards
+        from triplaneturbo_tpu.systems.trainer import split_params
+
+        batch_list = dm.sample_train_batch()
+        prompts = batch_list[0]["prompt"]
+        text_embeds = embeds_for(prompts)
+        kstep = jax.random.fold_in(key, 0)
+        trainer.global_step = 0
+        ts = sample_timesteps(
+            trainer.all_timesteps, trainer.cfg.num_parts_training, trainer.rng
+        )
+        scalars = trainer.host_scalars()
+        batch_list = [
+            {k: jnp.asarray(v) for k, v in b.items() if not isinstance(v, (list, str))}
+            for b in batch_list
+        ]
+        keys = jax.random.split(kstep, trainer.cfg.num_parts_training)
+        batch = {k: v for k, v in batch_list[0].items() if k != "noise"}
+        t0 = jnp.asarray(ts, jnp.int32)[0]
+        latent, space_cache, images = trainer._stage_render_jit(
+            trainer.params, batch, batch_list[0]["noise"], t0,
+            text_embeds, scalars, keys[0],
+        )
+        (fid, gn), grad_images = trainer._stage_teacher_jit(
+            trainer.guidance.teacher_params(), images, batch, text_embeds,
+            scalars, keys[0],
+        )
+        params_train, params_frozen = split_params(trainer.params, trainer.train_mask)
+
+        census = jax.jit(
+            lambda tree: jax.tree_util.tree_map(
+                lambda l: (jnp.sum(jnp.isnan(l)), jnp.sum(jnp.isinf(l)),
+                           jnp.nanmax(jnp.abs(l)))
+                if jnp.issubdtype(l.dtype, jnp.floating)
+                else (jnp.zeros((), jnp.int32),) * 2 + (jnp.zeros(()),),
+                tree,
+            )
+        )
+
+        for branch in ("1st", "2nd"):
+            grads, g_space, regu = trainer._stage_student_render_jit[branch](
+                params_train, params_frozen, batch, space_cache,
+                text_embeds, scalars, grad_images, keys[0],
+            )
+            print(f"== branch {branch}: regu={float(regu):.6f}")
+            rep = jax.device_get(census({"grads": grads, "g_space": g_space}))
+
+            def walk(prefix, node):
+                if isinstance(node, dict):
+                    for k2, v2 in node.items():
+                        walk(f"{prefix}/{k2}", v2)
+                elif isinstance(node, tuple) and len(node) == 3:
+                    n_nan, n_inf, mx = (int(node[0]), int(node[1]), float(node[2]))
+                    if n_nan or n_inf or mx > 1e15:
+                        print(f"    {prefix:70s} nan={n_nan:9d} inf={n_inf:9d} max={mx:10.3e}")
+                else:
+                    for i2, v2 in enumerate(node):
+                        walk(f"{prefix}[{i2}]", v2)
+            walk("", rep)
+            per_plane = jax.jit(
+                lambda g: (jnp.sum(~jnp.isfinite(g), axis=(0, 2, 3, 4)),
+                           jnp.max(jnp.abs(jnp.nan_to_num(g)), axis=(0, 2, 3, 4)))
+            )(g_space)
+            bad_p, max_p = jax.device_get(per_plane)
+            print(f"    g_space per-plane nonfinite: {list(map(int, bad_p))}")
+            print(f"    g_space per-plane max|.|   : "
+                  f"{['%.2e' % float(v) for v in max_p]}")
+            sys.stdout.flush()
+        print("DONE")
+        return
+
     if args.stage == "full":
         # one jitted non-finite counter per tree structure (a fresh jit per
         # structure would recompile; cache on the treedef + leaf shapes)
@@ -142,7 +215,12 @@ def main() -> None:
             label = getattr(fn, "__wrapped__", fn)
             name = getattr(label, "__name__", str(fn))[:40]
             bad_out = count_bad(out)
-            bad_par = count_bad(trainer.params)
+            if fn is trainer._stage_update_jit:
+                # the update donated the params buffers; check its output
+                # (the new params_train) instead of the stale trainer.params
+                bad_par = count_bad(out[0])
+            else:
+                bad_par = count_bad(trainer.params)
             flag = "" if bad_out == 0 and bad_par == 0 else "  <-- NON-FINITE"
             print(f"    [{state['i']:02d}] {name:34s} out_bad={bad_out:8d} "
                   f"params_bad={bad_par:6d}{flag}")

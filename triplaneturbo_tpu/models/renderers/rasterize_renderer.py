@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import triplaneturbo_tpu as ttt
 
 from ...ops.isosurface import extract_isosurface, force_field_crossing
+from ...utils.ops import safe_normalize
 from ...ops.rasterize import RasterOut, antialias, interpolate, rasterize
 from ...utils.mesh import Mesh
 
@@ -189,9 +190,9 @@ class GenerativeSpaceMeshRasterizeRenderer:
             gb_normal = jnp.stack(
                 [interpolate(vn, r, mesh.t_pos_idx) for _, r in views]
             )
-            gb_normal = gb_normal / jnp.maximum(
-                jnp.linalg.norm(gb_normal, axis=-1, keepdims=True), 1e-8
-            )
+            # safe_normalize: non-hit pixels interpolate to EXACT zeros; the
+            # max(norm, eps) form NaNs their backward (utils/ops.py)
+            gb_normal = safe_normalize(gb_normal)
             gb_pos = jnp.stack(
                 [interpolate(mesh.v_pos, r, mesh.t_pos_idx) for _, r in views]
             )
@@ -218,7 +219,7 @@ class GenerativeSpaceMeshRasterizeRenderer:
                 w2c_rot = jnp.linalg.inv(c2w[sl])[:, :3, :3]
                 n_cam = jnp.einsum("vhwc,vkc->vhwk", gb_normal, w2c_rot)
                 n_cam = n_cam * jnp.asarray([-1.0, 1.0, 1.0])
-                n_cam = n_cam / jnp.maximum(jnp.linalg.norm(n_cam, axis=-1, keepdims=True), 1e-8)
+                n_cam = safe_normalize(n_cam)
                 n_cam01 = (n_cam + 1.0) / 2.0
                 bg_n = jnp.ones_like(n_cam01) * jnp.asarray([0.5, 0.5, 1.0])
                 bg_w = jnp.ones_like(n_cam01)
@@ -253,9 +254,7 @@ class GenerativeSpaceMeshRasterizeRenderer:
                 else:
                     cam = camera_positions[sl][:, None, None, :]
                     view_dirs = gb_pos - cam
-                    view_dirs = view_dirs / jnp.maximum(
-                        jnp.linalg.norm(view_dirs, axis=-1, keepdims=True), 1e-8
-                    )
+                    view_dirs = safe_normalize(view_dirs)
                 te = text_embed[i : i + 1] if text_embed is not None else None
                 rgb_bg = background_fn(view_dirs, te)
                 gb_rgb = rgb_bg * (1 - mask) + rgb_fg * mask

@@ -34,6 +34,7 @@ from ..models.guidance.asd_guidance import ASDGuidance
 from ..models.renderers.patch_renderer import PatchRenderer, PatchRendererConfig
 from ..models.renderers.rasterize_renderer import GenerativeSpaceMeshRasterizeRenderer
 from ..models.renderers.volume_renderer import GenerativeSpaceSDFVolumeRenderer
+from ..utils.ops import safe_normalize
 from ..models.schedulers import Schedule, add_noise, ddim_timesteps, pred_original
 from ..utils.schedule import C
 from .optimizers import adan
@@ -396,9 +397,9 @@ class TriplaneTurboTrainer:
                 out = {k: ungroup(v) for k, v in out.items()}
                 grad = ungroup(grad)
                 out["sdf_grad"] = grad
-                out["normal"] = grad / jnp.maximum(
-                    jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-8
-                )
+                # safe_normalize: sdf_grad vanishes identically outside the
+                # contracted box; max(norm, eps) NaNs those points' backward
+                out["normal"] = safe_normalize(grad)
             else:
                 out = self.geometry.apply(params["geometry"], pts, space_cache)
                 out = {k: ungroup(v) for k, v in out.items()}

@@ -218,5 +218,10 @@ class Mesh:
             nbr_cnt = nbr_cnt.at[ib].add(w)
         valid = (nbr_cnt > 0) & self.valid_vert_mask()
         mean_nbr = nbr_sum / jnp.maximum(nbr_cnt, 1.0)[:, None]
-        lap = jnp.linalg.norm(self.v_pos - mean_nbr, axis=-1)
+        # eps inside the sqrt: padded slots have v_pos == mean_nbr == 0
+        # exactly, and norm()'s backward is 0/0 = NaN there — a zero
+        # cotangent times a NaN partial still poisons the whole gradient
+        # (even at lambda_laplacian == 0, 0 * NaN = NaN)
+        d2 = jnp.sum((self.v_pos - mean_nbr) ** 2, axis=-1)
+        lap = jnp.sqrt(jnp.maximum(d2, 1e-20))
         return (lap * valid).sum() / jnp.maximum(valid.sum(), 1)

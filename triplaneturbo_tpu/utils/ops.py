@@ -62,6 +62,23 @@ def chunk_batch(fn: Callable, chunk_size: int, x: jax.Array, *args, axis: int = 
     return jnp.moveaxis(out, 0, axis) if axis else out
 
 
+def safe_normalize(x: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """x / ||x|| with a backward that is exact for ||x|| >= eps and ZERO
+    (not NaN) at x == 0.
+
+    ``x / jnp.maximum(jnp.linalg.norm(x), eps)`` still NaNs in backward at
+    exactly-zero rows: d||x||/dx = x/||x|| is 0/0 there, and a zero cotangent
+    times a NaN partial is NaN — the masked-pixel trap (non-hit rasterizer
+    pixels interpolate to exact zeros, padded mesh slots are exact zeros,
+    SDF gradients vanish identically outside the contracted box). Keeping
+    eps INSIDE the sqrt makes d sqrt(max(s, eps^2))/ds = 0 at s = 0, so
+    masked zero rows give clean zero gradients. This single pattern was the
+    root cause of the full-size step-1 NaN (every background pixel poisoned
+    the whole geometry gradient through the normal map)."""
+    s = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(s, eps * eps))
+
+
 def binary_cross_entropy(inputs: jax.Array, targets: jax.Array, eps: float = 0.0) -> jax.Array:
     x = jnp.clip(inputs, 1e-7, 1 - 1e-7)
     return -(targets * jnp.log(x) + (1 - targets) * jnp.log(1 - x)).mean()
