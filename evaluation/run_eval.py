@@ -33,6 +33,12 @@ def main() -> None:
     ap.add_argument("--render-size", type=int, default=512)
     ap.add_argument("--save-obj", action="store_true")
     ap.add_argument(
+        "--save-grid",
+        action="store_true",
+        help="write a per-prompt PNG grid of the rendered eval views "
+        "(the reference saves kire render grids next to its score json)",
+    )
+    ap.add_argument(
         "--clip-ckpt",
         default=None,
         help="HF clip-vit-base-patch32 torch state dict (or converted "
@@ -94,6 +100,13 @@ def main() -> None:
         images[prompt] = views
         if args.save_obj:
             export_obj(mesh, os.path.join(args.out, f"{prompt[:60].replace(' ', '_')}/model.obj"))
+        if args.save_grid:
+            from triplaneturbo_tpu.utils.saving import save_image_grid
+
+            save_image_grid(
+                os.path.join(args.out, f"{prompt[:60].replace(' ', '_')}.png"),
+                [np.asarray(v) for v in views],
+            )
         ttt.info(f"[{i+1}/{len(my_prompts)}] {dt:.2f}s  {prompt}")
 
     metrics = scorer.score(images)

@@ -223,3 +223,65 @@ def test_gradient_finite_with_padded_degenerate_faces():
     assert np.isfinite(np.asarray(g)).all(), g
     # the real face's verts must still receive silhouette gradient
     assert np.abs(np.asarray(g)[:3]).sum() > 0
+
+
+def test_occluder_gradient_interior_edge():
+    """VERDICT r3 low-pri: quantify the documented interior-occlusion-edge
+    approximation (ops/rasterize.py antialias docstring). A red triangle in
+    FRONT of a full-screen green quad: its edges are interior occlusion
+    boundaries, not background silhouettes (nvdiffrast pair-blends the two
+    faces' colors there; our per-pixel edge-distance alpha blends the front
+    face toward the BACKGROUND instead). Two quantified properties:
+
+    * the OCCLUDER's own color channel carries a real but PARTIAL area
+      gradient: only the covered-pixel half of nvdiffrast's pair blend exists
+      on interior edges (the uncovered-neighbor overhang channel never fires
+      because those pixels are covered by the back face), so AD recovers
+      ~74% of the analytic d(s^2 A)/ds = 2A at this resolution;
+    * the OCCLUDED face's channel is where the approximation bites hardest:
+      its true rate is -2A (red grows at green's expense) and finite
+      differences see it, but AD sees exactly 0 because the blend at
+      front-face pixels goes to the background, not to green. This pins the
+      known bias (second-order under the v1 recipe's 0.001 grad shrink) so
+      any future blend change is audited against it.
+    """
+    H = W = 48
+    mvp = jnp.eye(4)
+    # NEGATIVE z is closer with an identity mvp (depth convention pinned by
+    # test_depth_ordering_two_triangles under simple_cam)
+    quad = jnp.asarray(
+        [[-0.85, -0.85, 0.5], [0.85, -0.85, 0.5], [0.85, 0.85, 0.5], [-0.85, 0.85, 0.5]]
+    )
+    tri = jnp.asarray([[-0.5, -0.4, -0.5], [0.5, -0.4, -0.5], [0.0, 0.4, -0.5]])
+    faces = jnp.asarray([[0, 1, 2], [0, 2, 3], [4, 5, 6]], jnp.int32)
+    # green quad verts, red occluder verts
+    attr = jnp.asarray([[0.0, 1.0, 0.0]] * 4 + [[1.0, 0.0, 0.0]] * 3)
+    bg = jnp.zeros((H, W, 3))
+
+    def channel_sum(s, ch):
+        scale = jnp.asarray([s, s, 1.0])  # scale the occluder in-plane only
+        verts = jnp.concatenate([quad, tri * scale])
+        out = rasterize(clipspace(verts, mvp), faces, None, H, W, tile=16, faces_per_tile=16)
+        img = interpolate(attr, out, faces)
+        return antialias(img, out, bg)[..., ch].sum()
+
+    # occluder (red) channel: area grows as s^2 * A -> d/ds at 1 is 2A.
+    # Measured at 48^2: AD 341.7 = 0.74 * 2A (the covered-pixel half of the
+    # pair blend), FD 583 (pixel events make FD noisy-high over this window)
+    area_px = 0.5 * 1.0 * 0.8 * (H / 2) * (W / 2)
+    expect = 2.0 * area_px
+    g_red = float(jax.grad(channel_sum)(1.0, 0))
+    assert np.isfinite(g_red) and g_red > 0
+    assert 0.55 * expect < g_red < 0.95 * expect, (g_red, expect)
+    eps = 0.03
+    fd_red = (float(channel_sum(1 + eps, 0)) - float(channel_sum(1 - eps, 0))) / (2 * eps)
+    assert 0.6 * expect < fd_red < 1.5 * expect, (fd_red, expect)
+
+    # occluded (green) channel: truth is -2A and FD sees it (whole pixels
+    # flip from green to red as centers are crossed; measured -625) ...
+    fd_green = (float(channel_sum(1 + eps, 1)) - float(channel_sum(1 - eps, 1))) / (2 * eps)
+    assert -1.5 * expect < fd_green < -0.6 * expect, (fd_green, expect)
+    # ... but AD sees NONE of it: the quantified approximation (measured 0.0)
+    g_green = float(jax.grad(channel_sum)(1.0, 1))
+    assert np.isfinite(g_green)
+    assert abs(g_green) < 0.05 * expect, (g_green, expect)
