@@ -17,10 +17,19 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def prompt_slug(i: int, prompt: str) -> str:
+    """Filesystem-safe unique name for a prompt's artifacts: index prefix
+    guarantees uniqueness (prompts sharing a 60-char prefix would otherwise
+    overwrite each other), and the sanitizer keeps '/' etc. out of the path
+    (ADVICE r4)."""
+    return f"{i:03d}_" + re.sub(r"[^A-Za-z0-9_-]+", "_", prompt)[:60]
 
 
 def main() -> None:
@@ -99,12 +108,12 @@ def main() -> None:
         t_total += dt
         images[prompt] = views
         if args.save_obj:
-            export_obj(mesh, os.path.join(args.out, f"{prompt[:60].replace(' ', '_')}/model.obj"))
+            export_obj(mesh, os.path.join(args.out, prompt_slug(i, prompt), "model.obj"))
         if args.save_grid:
             from triplaneturbo_tpu.utils.saving import save_image_grid
 
             save_image_grid(
-                os.path.join(args.out, f"{prompt[:60].replace(' ', '_')}.png"),
+                os.path.join(args.out, f"{prompt_slug(i, prompt)}.png"),
                 [np.asarray(v) for v in views],
             )
         ttt.info(f"[{i+1}/{len(my_prompts)}] {dt:.2f}s  {prompt}")

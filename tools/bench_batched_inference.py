@@ -5,7 +5,7 @@ The reference pipeline exposes num_results_per_prompt
 (/root/reference/triplaneturbo_executable/pipelines/triplaneturbo_text_to_3d.py:264-269);
 batching amortizes the fixed host-sync/dispatch cost of the B=1 path and
 feeds the MXU bigger matmuls in the denoise/decode program. Writes
-benchmarks/bench_r4_batched_inference.json.
+benchmarks/bench_r5_batched_inference.json.
 
 Usage: python tools/bench_batched_inference.py
 """
@@ -74,7 +74,7 @@ def main() -> None:
         **results,
     }
     os.makedirs("benchmarks", exist_ok=True)
-    with open("benchmarks/bench_r4_batched_inference.json", "w") as f:
+    with open("benchmarks/bench_r5_batched_inference.json", "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps(artifact))
 

@@ -49,7 +49,7 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
         "--stage", default="render",
-        choices=["render", "teacher", "full", "grads"],
+        choices=["render", "teacher", "full", "grads", "drill1", "drill2", "probe1n"],
         help="render: per-part forward finiteness; teacher: drill the three "
         "guidance branches separately on the render stage's images; full: "
         "run the REAL staged train_step with a checking dispatch that "
@@ -118,6 +118,254 @@ def main() -> None:
 
     teacher_branches_jit = jax.jit(teacher_branches)
 
+    if args.stage == "probe1n":
+        # zero-injection probe INSIDE the comp_normal_cam_vis path (the term
+        # the drill flagged): replicate the 1st renderer's normal pipeline
+        # with additive zero injections at every intermediate, take grads
+        # w.r.t. all injections in ONE program, and report which cotangents
+        # are non-finite. Walking from the loss upstream, the first injection
+        # whose cotangent goes NaN brackets the backward segment that
+        # CREATES the NaN.
+        import jax.numpy as jnp2
+        from triplaneturbo_tpu.ops.isosurface import (
+            extract_isosurface, force_field_crossing,
+        )
+        from triplaneturbo_tpu.ops.rasterize import interpolate, rasterize
+        from triplaneturbo_tpu.utils.mesh import Mesh
+        from triplaneturbo_tpu.utils.ops import safe_normalize
+
+        batch_list = dm.sample_train_batch()
+        prompts = batch_list[0]["prompt"]
+        text_embeds = embeds_for(prompts)
+        kstep = jax.random.fold_in(key, 0)
+        trainer.global_step = 0
+        ts = sample_timesteps(
+            trainer.all_timesteps, trainer.cfg.num_parts_training, trainer.rng
+        )
+        scalars = trainer.host_scalars()
+        batch_list = [
+            {k: jnp.asarray(v) for k, v in b.items() if not isinstance(v, (list, str))}
+            for b in batch_list
+        ]
+        keys = jax.random.split(kstep, trainer.cfg.num_parts_training)
+        batch = {k: v for k, v in batch_list[0].items() if k != "noise"}
+        t0 = jnp.asarray(ts, jnp.int32)[0]
+        latent, space_cache, images = trainer._stage_render_jit(
+            trainer.params, batch, batch_list[0]["noise"], t0,
+            text_embeds, scalars, keys[0],
+        )
+        (fid, gn), grad_images = trainer._stage_teacher_jit(
+            trainer.guidance.teacher_params(), images, batch, text_embeds,
+            scalars, keys[0],
+        )
+        g_img = jax.lax.stop_gradient(grad_images["comp_normal_cam_vis_1st"])
+
+        rr = trainer.rasterize_renderer
+        cfg_r = rr.cfg
+        R = cfg_r.isosurface_resolution
+        H = batch["rays_d_rasterize"].shape[1]
+        geom = trainer.geometry
+        gparams = trainer.params["geometry"]
+        sgs = scalars["sdf_grad_shrink"]
+        dgs = scalars["def_grad_shrink"]
+        assert space_cache.shape[0] == 1, "probe assumes Bsc=1"
+        V = cfg_r.max_verts
+        F = cfg_r.max_faces
+        nv = batch["mvp_mtx"].shape[0]
+
+        inj0 = {
+            "sdf": jnp2.zeros((R * R * R,)),
+            "deform": jnp2.zeros((R * R * R, 3)),
+            "vpos": jnp2.zeros((V, 3)),
+            "fn": jnp2.zeros((F, 3)),
+            "vn_raw": jnp2.zeros((V, 3)),
+            "vn": jnp2.zeros((V, 3)),
+            "gbn_raw": jnp2.zeros((nv, H, H, 3)),
+            "gbn": jnp2.zeros((nv, H, H, 3)),
+            "n_cam_in": jnp2.zeros((nv, H, H, 3)),
+            "img": jnp2.zeros((nv, H, H, 3)),
+        }
+
+        def loss_fn(inj, sc_cache):
+            sdf, deform = geom.apply(
+                gparams, sc_cache, R, method=geom.forward_field_grid
+            )
+            sdf = sdf.reshape(-1) + inj["sdf"]
+            deform = deform.reshape(-1, 3) + inj["deform"]
+            sdf = sgs * sdf + (1.0 - sgs) * jax.lax.stop_gradient(sdf)
+            deform = dgs * deform + (1.0 - dgs) * jax.lax.stop_gradient(deform)
+            sdf = force_field_crossing(sdf, R)
+            m = extract_isosurface(
+                sdf.reshape(R, R, R), deform.reshape(R, R, R, 3),
+                method=cfg_r.isosurface_method,
+                max_verts=V, max_faces=F,
+            )
+            mesh = Mesh(
+                v_pos=m.verts * 2.0 - 1.0 + inj["vpos"],
+                t_pos_idx=m.faces, v_mask=m.vert_mask, t_mask=m.face_mask,
+            )
+            # vertex_normals, unrolled for injection (utils/mesh.py:65-84)
+            i0, i1, i2 = mesh.t_pos_idx[:, 0], mesh.t_pos_idx[:, 1], mesh.t_pos_idx[:, 2]
+            p0, p1, p2 = mesh.v_pos[i0], mesh.v_pos[i1], mesh.v_pos[i2]
+            fn = jnp2.cross(p1 - p0, p2 - p0)
+            fn = fn * mesh.valid_face_mask()[:, None] + inj["fn"]
+            vn_raw = jnp2.zeros((V, 3))
+            for kk in range(3):
+                vn_raw = vn_raw.at[mesh.t_pos_idx[:, kk]].add(fn)
+            vn_raw = vn_raw + inj["vn_raw"]
+            vn = vn_raw / jnp2.sqrt(
+                jnp2.maximum((vn_raw * vn_raw).sum(-1, keepdims=True), 1e-20)
+            )
+            vn = vn * mesh.valid_vert_mask()[:, None] + inj["vn"]
+
+            gbn_list, mask_list = [], []
+            for v in range(nv):
+                vh = jnp2.concatenate(
+                    [mesh.v_pos, jnp2.ones_like(mesh.v_pos[:, :1])], axis=-1
+                )
+                v_clip = vh @ batch["mvp_mtx"][v].T
+                rast = rasterize(
+                    v_clip, mesh.t_pos_idx, mesh.t_mask, H, H,
+                    tile=cfg_r.tile, faces_per_tile=cfg_r.faces_per_tile,
+                    max_span=cfg_r.max_span,
+                )
+                gbn_list.append(interpolate(vn, rast, mesh.t_pos_idx))
+                mask_list.append(rast.mask)
+            gbn_raw = jnp2.stack(gbn_list) + inj["gbn_raw"]
+            mask = jnp2.stack(mask_list).astype(jnp2.float32)[..., None]
+            gbn = safe_normalize(gbn_raw) + inj["gbn"]
+            w2c_rot = jnp2.linalg.inv(batch["c2w"])[:, :3, :3]
+            n_cam = jnp2.einsum("vhwc,vkc->vhwk", gbn, w2c_rot)
+            n_cam = n_cam * jnp2.asarray([-1.0, 1.0, 1.0]) + inj["n_cam_in"]
+            n_cam = safe_normalize(n_cam)
+            n_cam01 = (n_cam + 1.0) / 2.0
+            bg_n = jnp2.ones_like(n_cam01) * jnp2.asarray([0.5, 0.5, 1.0])
+            img = n_cam01 * mask + bg_n * (1 - mask) + inj["img"]
+            return (g_img * img).sum()
+
+        grads = jax.jit(jax.grad(loss_fn))(inj0, space_cache)
+        for name in ("img", "n_cam_in", "gbn", "gbn_raw", "vn", "vn_raw",
+                     "fn", "vpos", "deform", "sdf"):
+            g = grads[name]
+            n_bad = int(jnp.sum(~jnp.isfinite(g)))
+            mx = float(jnp.max(jnp.abs(jnp.nan_to_num(g))))
+            flag = "" if n_bad == 0 else "  <-- NON-FINITE"
+            print(f"  cotangent@{name:10s} bad={n_bad:9d} max|.|={mx:12.4e}{flag}")
+            sys.stdout.flush()
+        print("DONE")
+        return
+
+    if args.stage in ("drill1", "drill2"):
+        # per-loss-term bisect of ONE branch's backward: each term of the
+        # _stage_student_render loss is differentiated alone, so the term
+        # whose backward emits the NaN (a 0-cotangent x NaN-partial leak
+        # survives even when the term's lambda is 0) is named exactly.
+        import jax.numpy as jnp2
+        from triplaneturbo_tpu.systems.trainer import combine_params, split_params
+
+        branch = "1st" if args.stage == "drill1" else "2nd"
+        batch_list = dm.sample_train_batch()
+        prompts = batch_list[0]["prompt"]
+        text_embeds = embeds_for(prompts)
+        kstep = jax.random.fold_in(key, 0)
+        trainer.global_step = 0
+        ts = sample_timesteps(
+            trainer.all_timesteps, trainer.cfg.num_parts_training, trainer.rng
+        )
+        scalars = trainer.host_scalars()
+        batch_list = [
+            {k: jnp.asarray(v) for k, v in b.items() if not isinstance(v, (list, str))}
+            for b in batch_list
+        ]
+        keys = jax.random.split(kstep, trainer.cfg.num_parts_training)
+        batch = {k: v for k, v in batch_list[0].items() if k != "noise"}
+        t0 = jnp.asarray(ts, jnp.int32)[0]
+        latent, space_cache, images = trainer._stage_render_jit(
+            trainer.params, batch, batch_list[0]["noise"], t0,
+            text_embeds, scalars, keys[0],
+        )
+        (fid, gn), grad_images = trainer._stage_teacher_jit(
+            trainer.guidance.teacher_params(), images, batch, text_embeds,
+            scalars, keys[0],
+        )
+        params_train, params_frozen = split_params(trainer.params, trainer.train_mask)
+        k0 = keys[0]
+
+        def term_loss(out_1st, out_2nd, sc, which):
+            out = out_1st if branch == "1st" else out_2nd
+            if which.startswith("fid_"):
+                name = {"fid_rgb": "comp_rgb",
+                        "fid_normal": "comp_normal_cam_vis",
+                        "fid_disp": "disparity"}[which]
+                g = jax.lax.stop_gradient(grad_images[f"{name}_{branch}"])
+                return (g * out[name]).sum()
+            op = out["opacity"]
+            if which == "sparsity":
+                return sc["lambda_sparsity" + ("" if branch == "1st" else "_2nd")] * jnp2.sqrt(op**2 + 0.01).mean()
+            if which == "opaque":
+                opc = jnp2.clip(op, 1e-3, 1 - 1e-3)
+                return sc["lambda_opaque" + ("" if branch == "1st" else "_2nd")] * (
+                    -(opc * jnp2.log(opc) + (1 - opc) * jnp2.log(1 - opc))
+                ).mean()
+            if which == "nc":
+                return sc["lambda_normal_consistency"] * jnp2.stack(
+                    [m.normal_consistency() for m in out_1st["mesh"]]
+                ).mean()
+            if which == "lap":
+                return sc["lambda_laplacian_smoothness"] * jnp2.stack(
+                    [m.laplacian() for m in out_1st["mesh"]]
+                ).mean()
+            if which == "zvar":
+                zv = out["z_variance"]
+                sel = (op > 0.5).astype(zv.dtype)
+                return sc["lambda_z_variance_2nd"] * (zv * sel).sum() / jnp2.maximum(sel.sum(), 1)
+            if which == "eikonal":
+                return sc["lambda_eikonal_2nd"] * out["eikonal"]
+            if which == "orient":
+                return sc["lambda_orient_2nd"] * out.get("orient", jnp2.zeros(()))
+            if which == "sdf_abs":
+                return sc["lambda_sdf_abs"] * out.get("sdf_abs", jnp2.zeros(()))
+            raise ValueError(which)
+
+        def make_grads_fn(which):
+            def loss_fn(pt, sc_cache):
+                p = combine_params(pt, params_frozen)
+                _, k_render, _ = jax.random.split(k0, 3)
+                out_1st, out_2nd = trainer._render_branch(
+                    p, batch, sc_cache, scalars, k_render,
+                    text_embeds["global_21"], branch,
+                )
+                return term_loss(out_1st, out_2nd, scalars, which)
+            return jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+
+        terms_1st = ["fid_rgb", "fid_normal", "fid_disp", "sparsity", "opaque", "nc", "lap"]
+        terms_2nd = ["fid_rgb", "fid_normal", "fid_disp", "sparsity", "opaque", "zvar", "eikonal", "orient", "sdf_abs"]
+        terms = terms_1st if branch == "1st" else terms_2nd
+
+        count_bad = jax.jit(
+            lambda ls: sum(
+                jnp2.sum(~jnp2.isfinite(l))
+                for l in ls
+                if jnp2.issubdtype(l.dtype, jnp2.floating)
+            )
+        )
+        for which in terms:
+            import time as _time
+
+            t_start = _time.time()
+            grads, g_space = make_grads_fn(which)(params_train, space_cache)
+            bad_g = int(count_bad(
+                [l for l in jax.tree_util.tree_leaves(grads) if hasattr(l, "dtype")]
+            ))
+            bad_s = int(count_bad([g_space]))
+            flag = "" if bad_g == 0 and bad_s == 0 else "  <-- NON-FINITE"
+            print(f"  term {which:12s} grads_bad={bad_g:9d} g_space_bad={bad_s:9d} "
+                  f"({_time.time()-t_start:.0f}s){flag}")
+            sys.stdout.flush()
+            del grads, g_space
+        print("DONE")
+        return
+
     if args.stage == "grads":
         # leaf-level non-finite census of part-0's two branch backwards
         from triplaneturbo_tpu.systems.trainer import split_params
@@ -167,6 +415,8 @@ def main() -> None:
             rep = jax.device_get(census({"grads": grads, "g_space": g_space}))
 
             def walk(prefix, node):
+                if node is None:
+                    return
                 if isinstance(node, dict):
                     for k2, v2 in node.items():
                         walk(f"{prefix}/{k2}", v2)

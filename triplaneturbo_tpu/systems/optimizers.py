@@ -82,3 +82,34 @@ def adan(
         txs.append(optax.add_decayed_weights(weight_decay))
     txs.append(optax.scale_by_learning_rate(learning_rate))
     return optax.chain(*txs)
+
+
+def guarded_adan(
+    learning_rate: float = 2e-4,
+    betas: Tuple[float, float, float] = (0.98, 0.92, 0.99),
+    eps: float = 1e-15,
+    weight_decay: float = 0.0,
+    grad_clip_norm: Optional[float] = None,
+    accumulation_steps: int = 1,
+    skip_nonfinite: bool = True,
+) -> optax.GradientTransformation:
+    """Adan with the training-loop numerical armor around it.
+
+    Reference parity: the guidance nan_to_num's its image-space grads
+    (guidance:661,1079,1455) and clips them via the update_step hook
+    (guidance:1765-1770); torch AMP additionally skips non-finite optimizer
+    steps. Here: optional global-norm clip on the PARAM grads, MultiSteps
+    accumulation, and an outermost optax.apply_if_finite gate so one
+    non-finite grad batch is skipped-and-counted instead of poisoning the
+    accumulator/params forever (measured failure mode r4: NaN grads x
+    MultiSteps' mid-cycle acc*0 update = NaN params from step 1 on).
+    The skip count rides in ``opt_state.total_notfinite``.
+    """
+    tx = adan(learning_rate, betas, eps, weight_decay)
+    if grad_clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    if accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, accumulation_steps)
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=10_000)
+    return tx

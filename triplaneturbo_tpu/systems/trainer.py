@@ -36,8 +36,8 @@ from ..models.renderers.rasterize_renderer import GenerativeSpaceMeshRasterizeRe
 from ..models.renderers.volume_renderer import GenerativeSpaceSDFVolumeRenderer
 from ..utils.ops import safe_normalize
 from ..models.schedulers import Schedule, add_noise, ddim_timesteps, pred_original
-from ..utils.schedule import C
-from .optimizers import adan
+from ..utils.schedule import C, schedule_is_zero
+from .optimizers import guarded_adan
 
 
 def split_params(params, mask):
@@ -123,6 +123,17 @@ class TrainerConfig:
     learning_rate: float = 2e-4
     adan_betas: Tuple[float, float, float] = (0.98, 0.92, 0.99)
     adan_eps: float = 1e-15
+    # numerical armor at the optimizer boundary (reference parity: the
+    # guidance nan_to_num's its image grads, guidance:661,1079,1455, and
+    # clips them via the update_step grad-clip hook, guidance:1765-1770;
+    # torch's scaler additionally skips non-finite optimizer steps). Here:
+    # optional global-norm clip on the param grads, and a finiteness gate
+    # (optax.apply_if_finite) that SKIPS a poisoned batch — one non-finite
+    # grad batch logs skipped_nonfinite and keeps training instead of
+    # permanently bricking params (measured failure mode, r4: NaN grads x
+    # MultiSteps' mid-cycle acc*0 update = NaN params forever).
+    grad_clip_norm: Optional[float] = None
+    skip_nonfinite_grads: bool = True
     loss: LossConfig = field(default_factory=LossConfig)
     # guidance schedules (C()-able)
     mv_guidance_scale: Any = 10.0
@@ -194,10 +205,12 @@ class TriplaneTurboTrainer:
         # peft_layers + field MLPs + background + variance); frozen leaves
         # are never differentiated (split_params) — saves the full-size
         # backbone's gradient buffers in HBM
-        tx = adan(cfg.learning_rate, cfg.adan_betas, cfg.adan_eps)
-        if cfg.gradient_accumulation_steps > 1:
-            tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
-        self.tx = tx
+        self.tx = tx = guarded_adan(
+            cfg.learning_rate, cfg.adan_betas, cfg.adan_eps,
+            grad_clip_norm=cfg.grad_clip_norm,
+            accumulation_steps=cfg.gradient_accumulation_steps,
+            skip_nonfinite=cfg.skip_nonfinite_grads,
+        )
         train0, _ = split_params(self.params, self.train_mask)
         self.opt_state = tx.init(train0)
         # donate trainable params + optimizer state: both are immediately
@@ -426,39 +439,54 @@ class TriplaneTurboTrainer:
             out_2nd, scalars
         )
 
+    def _term_on(self, name: str) -> bool:
+        """STATIC gate: drop a loss term whose lambda schedule is identically
+        zero, mirroring the reference's ``if self.C(...) > 0`` skipping
+        (systems/multiprompt...py:594-788). Under jit a 0-lambda term still
+        builds its backward graph, and a 0 cotangent times a NaN/inf partial
+        would poison every upstream gradient; it also wastes forward FLOPs."""
+        return not schedule_is_zero(getattr(self.cfg.loss, name))
+
     def _regularizers_1st(self, out_1st, scalars) -> jax.Array:
-        loss = 0.0
+        loss = jnp.zeros((), jnp.float32)
         op1 = out_1st["opacity"]
-        loss += scalars["lambda_sparsity"] * jnp.sqrt(op1**2 + 0.01).mean()
-        opc = jnp.clip(op1, 1e-3, 1 - 1e-3)
-        loss += scalars["lambda_opaque"] * (
-            -(opc * jnp.log(opc) + (1 - opc) * jnp.log(1 - opc))
-        ).mean()
+        if self._term_on("lambda_sparsity"):
+            loss += scalars["lambda_sparsity"] * jnp.sqrt(op1**2 + 0.01).mean()
+        if self._term_on("lambda_opaque"):
+            opc = jnp.clip(op1, 1e-3, 1 - 1e-3)
+            loss += scalars["lambda_opaque"] * (
+                -(opc * jnp.log(opc) + (1 - opc) * jnp.log(1 - opc))
+            ).mean()
         if "mesh" in out_1st:
-            nc = jnp.stack([m.normal_consistency() for m in out_1st["mesh"]]).mean()
-            lap = jnp.stack([m.laplacian() for m in out_1st["mesh"]]).mean()
-            loss += scalars["lambda_normal_consistency"] * nc
-            loss += scalars["lambda_laplacian_smoothness"] * lap
+            if self._term_on("lambda_normal_consistency"):
+                nc = jnp.stack([m.normal_consistency() for m in out_1st["mesh"]]).mean()
+                loss += scalars["lambda_normal_consistency"] * nc
+            if self._term_on("lambda_laplacian_smoothness"):
+                lap = jnp.stack([m.laplacian() for m in out_1st["mesh"]]).mean()
+                loss += scalars["lambda_laplacian_smoothness"] * lap
         return loss
 
     def _regularizers_2nd(self, out_2nd, scalars) -> jax.Array:
-        loss = 0.0
+        loss = jnp.zeros((), jnp.float32)
         op2 = out_2nd["opacity"]
-        loss += scalars["lambda_sparsity_2nd"] * jnp.sqrt(op2**2 + 0.01).mean()
-        opc2 = jnp.clip(op2, 1e-3, 1 - 1e-3)
-        loss += scalars["lambda_opaque_2nd"] * (
-            -(opc2 * jnp.log(opc2) + (1 - opc2) * jnp.log(1 - opc2))
-        ).mean()
-        zv = out_2nd["z_variance"]
-        sel = (op2 > 0.5).astype(zv.dtype)
-        loss += scalars["lambda_z_variance_2nd"] * (zv * sel).sum() / jnp.maximum(sel.sum(), 1)
-        if "eikonal" in out_2nd:
+        if self._term_on("lambda_sparsity_2nd"):
+            loss += scalars["lambda_sparsity_2nd"] * jnp.sqrt(op2**2 + 0.01).mean()
+        if self._term_on("lambda_opaque_2nd"):
+            opc2 = jnp.clip(op2, 1e-3, 1 - 1e-3)
+            loss += scalars["lambda_opaque_2nd"] * (
+                -(opc2 * jnp.log(opc2) + (1 - opc2) * jnp.log(1 - opc2))
+            ).mean()
+        if self._term_on("lambda_z_variance_2nd"):
+            zv = out_2nd["z_variance"]
+            sel = (op2 > 0.5).astype(zv.dtype)
+            loss += scalars["lambda_z_variance_2nd"] * (zv * sel).sum() / jnp.maximum(sel.sum(), 1)
+        if "eikonal" in out_2nd and self._term_on("lambda_eikonal_2nd"):
             loss += scalars["lambda_eikonal_2nd"] * out_2nd["eikonal"]
         # volume renderer exposes the orientation penalty (weights ·
         # clamp(n·d)², reference :618-633) and mean |sdf| (:689-705)
-        if "orient" in out_2nd:
+        if "orient" in out_2nd and self._term_on("lambda_orient_2nd"):
             loss += scalars["lambda_orient_2nd"] * out_2nd["orient"]
-        if "sdf_abs" in out_2nd:
+        if "sdf_abs" in out_2nd and self._term_on("lambda_sdf_abs"):
             loss += scalars["lambda_sdf_abs"] * out_2nd["sdf_abs"]
         return loss
 
@@ -934,5 +962,10 @@ class TriplaneTurboTrainer:
                 self.guidance.teacher_params(),
             )
             self.params = combine_params(params_train, params_frozen)
+        if self.cfg.skip_nonfinite_grads:
+            # cumulative count of batches whose param grads were non-finite
+            # and were therefore skipped by the apply_if_finite gate
+            metrics = dict(metrics)
+            metrics["skipped_nonfinite"] = self.opt_state.total_notfinite
         self.global_step += 1
         return metrics

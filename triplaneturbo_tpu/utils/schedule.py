@@ -56,6 +56,25 @@ def C(value: Any, epoch: int = 0, global_step: int = 0, interpolation: str = "li
     raise ValueError(f"Unknown interpolation: {interpolation}")
 
 
+def schedule_is_zero(value: Any) -> bool:
+    """True iff the schedule is identically zero over its lifetime.
+
+    Used to STATICALLY drop loss terms whose lambda can never be nonzero,
+    mirroring the reference's ``if self.C(...) > 0`` gating (e.g.
+    systems/multiprompt_dual_renderer...py:594-788): under jit a 0-lambda
+    term still contributes its backward graph, and a 0 cotangent times a
+    NaN/inf partial poisons every upstream gradient."""
+    if isinstance(value, (int, float)):
+        return value == 0
+    value = list(value)
+    if len(value) == 3:
+        value = [0] + value
+    vals: List[float] = [value[1], value[2]]
+    for i in range(4, len(value), 2):
+        vals.append(value[i])
+    return all(v == 0 for v in vals)
+
+
 def C_max(value: Any) -> float:
     """Maximum value a schedule can take over its lifetime."""
     if isinstance(value, (int, float)):
