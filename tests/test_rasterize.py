@@ -285,3 +285,46 @@ def test_occluder_gradient_interior_edge():
     g_green = float(jax.grad(channel_sum)(1.0, 1))
     assert np.isfinite(g_green)
     assert abs(g_green) < 0.05 * expect, (g_green, expect)
+
+
+def test_collapsed_face_cannot_win_pixels():
+    """A zero-area (collapsed) face has e0=e1=e2=0 at every pixel, so without
+    the area cull the inside test (e/denom >= 0) accepts its ENTIRE tile at
+    depth z~0 — it steals pixels from real geometry in the depth test, and
+    its barycentric backward overflows f32 through the 1e-12 denominator
+    clamp into inf*0=NaN (the measured root cause of the full-size step-1
+    training NaN; diagnose_nan --stage drill1/probe1n). Marching cubes emits
+    such faces whenever an isosurface vertex lands on a shared cell corner."""
+    from triplaneturbo_tpu.utils.ops import safe_normalize
+
+    v = jnp.array(
+        [
+            [-0.8, -0.8, 0.5, 1.0],
+            [0.8, -0.8, 0.5, 1.0],
+            [0.0, 0.8, 0.5, 1.0],
+            [0.1, 0.1, -0.9, 1.0],  # collapsed face vertex, in FRONT
+        ]
+    )
+    faces = jnp.array([[0, 1, 2], [3, 3, 3]], jnp.int32)
+    tmask = jnp.array([True, True])
+    out = rasterize(v, faces, tmask, 32, 32, tile=8, faces_per_tile=16, max_span=4)
+    fid = np.asarray(out.face_id)
+    assert (fid == 1).sum() == 0, "collapsed face must not win any pixel"
+    assert (fid == 0).sum() > 200, "real face coverage lost"
+
+    # the full normal-map chain (interpolate -> chained normalizes -> mask
+    # compose) must stay finite and NONTRIVIAL through the backward
+    vn = jnp.array([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+
+    def loss(vpos):
+        vh = jnp.concatenate([vpos, jnp.ones_like(vpos[:, :1])], -1)
+        o = rasterize(vh, faces, tmask, 32, 32, tile=8, faces_per_tile=16, max_span=4)
+        g = interpolate(vn, o, faces)
+        g = safe_normalize(g)
+        g = safe_normalize(g * jnp.array([-1.0, 1.0, 1.0]))
+        img = (g + 1) / 2 * o.mask[..., None].astype(jnp.float32)
+        return (img * 1e3).sum()
+
+    gr = jax.grad(loss)(v[:, :3])
+    assert bool(jnp.isfinite(gr).all())
+    assert float(jnp.abs(gr[:3]).max()) > 0, "real face must keep its gradient"

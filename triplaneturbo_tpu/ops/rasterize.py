@@ -158,7 +158,23 @@ def rasterize(
     # cull faces behind the camera (any w <= 0) — proper clipping is overkill
     # for object-centric rendering where the mesh is well inside the frustum
     front = (tri_w > 0).all(axis=-1)
-    valid = face_valid & front
+    # cull zero-area faces: a collapsed face (coincident vertices — marching
+    # cubes emits these when an isosurface vertex lands on a shared cell
+    # corner) has e0=e1=e2=0 at EVERY pixel, so the inside test
+    # (e/denom >= 0) accepts its entire tile at depth z=0: it steals whole
+    # tiles in the depth test, its pixels interpolate attributes to exact
+    # zeros, and its barycentric backward explodes through the 1e-12
+    # denominator clamp (f32 overflow -> inf * 0 -> NaN in every upstream
+    # gradient — the measured root cause of the full-size step-1 training
+    # NaN; see tools/diagnose_nan.py --stage probe1n). A face of screen area
+    # < 1e-6 px² cannot legitimately win a pixel center, so culling is
+    # behavior-preserving for a correct rasterizer (nvdiffrast likewise
+    # never covers pixels with degenerate faces).
+    e01 = tri_xy[:, 1] - tri_xy[:, 0]
+    e02 = tri_xy[:, 2] - tri_xy[:, 0]
+    area_f = e01[:, 0] * e02[:, 1] - e01[:, 1] * e02[:, 0]
+    nondegenerate = jnp.abs(jax.lax.stop_gradient(area_f)) > 1e-6
+    valid = face_valid & front & nondegenerate
 
     bins, n_span_ovf, n_list_ovf = _bin_faces(
         jax.lax.stop_gradient(tri_xy), valid, H, W, tile, faces_per_tile, max_span
