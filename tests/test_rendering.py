@@ -255,3 +255,50 @@ def test_volume_renderer_field_chunk_equivalence():
     # atol scaled to the gradient magnitude (~2e2): the y/z components are a
     # symmetric zero realized as accumulation-order noise
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=5e-4)
+
+
+def test_volume_renderer_backward_finite_with_degenerate_geometry():
+    """The two r5 NaN traps of the volume branch (diagnose_nan --stage grads
+    on chip): (a) eikonal's norm backward at EXACTLY-zero sdf gradients (the
+    analytic gradient vanishes identically outside the contracted box), and
+    (b) comp_normal's 0/0 normalize backward on empty rays (all-zero
+    accumulated weights at random init). Both must yield finite grads."""
+    cfg = VolumeRendererConfig(num_samples_per_ray=16, num_samples_per_ray_importance=8)
+    renderer = GenerativeSpaceSDFVolumeRenderer(cfg)
+    (ro, rd), c2w, dists = make_rays(H=8, W=8, dist=4.0)
+
+    def make_field(shift):
+        def field_fn(points, with_normal):
+            # sdf > 0 everywhere (rays hit nothing -> empty rays), and the
+            # sdf gradient is EXACTLY zero outside a small box
+            inside = (jnp.abs(points) < 0.3).all(-1, keepdims=True)
+            sdf = jnp.where(inside, 0.5 + shift * points[..., :1], 0.8 + 0 * points[..., :1])
+            out = {
+                "sdf": sdf,
+                "features": jnp.broadcast_to(jnp.asarray([1.0, 0.2, 0.2]), points.shape) * (1 + shift),
+                "normal": jnp.zeros_like(points),
+                "sdf_grad": jnp.where(inside, shift * jnp.ones_like(points), jnp.zeros_like(points)),
+            }
+            return out
+
+        return field_fn
+
+    params = renderer.init(
+        jax.random.PRNGKey(0), ro, rd, make_field(jnp.zeros(())), _white_bg,
+        camera_distances=dists, c2w=c2w, train=False,
+    )
+
+    def loss(shift):
+        out = renderer.apply(
+            params, ro, rd, make_field(shift), _white_bg,
+            camera_distances=dists, c2w=c2w, train=False,
+        )
+        return (
+            out["eikonal"]
+            + out["comp_normal"].sum()
+            + out["comp_normal_cam_vis"].sum()
+            + out["comp_rgb"].sum()
+        )
+
+    g = jax.grad(loss)(jnp.zeros(()))
+    assert np.isfinite(float(g)), f"gradient is {g}"

@@ -73,12 +73,19 @@ class TriplaneField(nn.Module):
 
     def shifted_sdf(self, points_unscaled: jax.Array, sdf: jax.Array) -> jax.Array:
         c = self.cfg
+        # eps INSIDE the max: sqrt'(0) = inf, and a sample point exactly at
+        # the origin would poison the backward (value-preserving for
+        # ||p|| > 1e-12)
         if c.sdf_bias == "sphere":
             radius = float(c.sdf_bias_params)
-            bias = jnp.sqrt((points_unscaled**2).sum(-1, keepdims=True)) - radius
+            bias = jnp.sqrt(
+                jnp.maximum((points_unscaled**2).sum(-1, keepdims=True), 1e-24)
+            ) - radius
         elif c.sdf_bias == "ellipsoid":
             size = jnp.asarray(c.sdf_bias_params, sdf.dtype)
-            bias = jnp.sqrt(((points_unscaled / size) ** 2).sum(-1, keepdims=True)) - 1.0
+            bias = jnp.sqrt(
+                jnp.maximum(((points_unscaled / size) ** 2).sum(-1, keepdims=True), 1e-24)
+            ) - 1.0
         elif isinstance(c.sdf_bias, (int, float)):
             bias = jnp.asarray(c.sdf_bias, sdf.dtype)
         else:

@@ -31,6 +31,7 @@ from ...ops.ray import (
     render_weight_from_alpha,
     volsdf_density,
 )
+from ...utils.ops import safe_normalize
 
 
 @dataclass
@@ -204,7 +205,14 @@ class GenerativeSpaceSDFVolumeRenderer(nn.Module):
         # systems/...py:620-738)
         if "sdf_grad" in geo:
             sg = geo["sdf_grad"].reshape(n_rays, S, 3)
-            out["eikonal"] = ((jnp.linalg.norm(sg, axis=-1) - 1.0) ** 2).mean()
+            # eps INSIDE the max: jnp.linalg.norm has a 0/0 = NaN backward at
+            # exactly-zero rows, and the analytic sdf gradient vanishes
+            # IDENTICALLY outside the contracted box (trainer field_fn) — one
+            # such sample point would NaN the whole eikonal backward (the
+            # torch reference is immune: torch.linalg.norm defines a zero
+            # subgradient at 0)
+            sg_norm = jnp.sqrt(jnp.maximum((sg * sg).sum(-1), 1e-24))
+            out["eikonal"] = ((sg_norm - 1.0) ** 2).mean()
         w_sg = jax.lax.stop_gradient(weights)
         cos = (normal * dirs).sum(-1)
         out["orient"] = (w_sg * jnp.clip(cos, 0.0) ** 2).sum() / jnp.maximum(
@@ -213,9 +221,10 @@ class GenerativeSpaceSDFVolumeRenderer(nn.Module):
         out["sdf_abs"] = jnp.abs(sdf).mean()
 
         comp_normal = accumulate_along_rays(weights, normal)
-        comp_normal = comp_normal / jnp.maximum(
-            jnp.linalg.norm(comp_normal, axis=-1, keepdims=True), 1e-8
-        )
+        # safe_normalize: empty rays (all-zero weights at random init)
+        # accumulate to EXACT zero, and max(norm, eps)'s backward is
+        # 0/0 = NaN there — same trap the rasterize renderer fixed in r4
+        comp_normal = safe_normalize(comp_normal)
         out["comp_normal"] = comp_normal.reshape(B, H, W, 3)
 
         if cfg.normal_direction == "camera" and c2w is not None:
