@@ -84,9 +84,12 @@ class GenerativeSpaceSDFVolumeRenderer(nn.Module):
     ) -> Dict[str, jax.Array]:
         """Render one batch of views.
 
-        field_fn(points [B, M, 3], with_normal: bool) must return a dict with
-        "sdf" [B, M, 1], "features" [B, M, C], "normal" [B, M, 3] — the
-        geometry closure carries the (per-view-repeated) space cache.
+        field_fn(points [B, M, 3], mode) must return a dict — the geometry
+        closure carries the (per-view-repeated) space cache. mode=True: full
+        eval with "sdf" [B, M, 1], "features" [B, M, C], "normal" [B, M, 3].
+        mode="sdf": only "sdf" is consumed (the stop-gradient proposal pass) —
+        providers may skip texture taps / feature MLPs entirely, or just
+        treat it as truthy with_normal; extra keys are ignored.
         """
         cfg = self.cfg
         B, H, W, _ = rays_o.shape
@@ -108,7 +111,11 @@ class GenerativeSpaceSDFVolumeRenderer(nn.Module):
         def prop_sigma_fn(t_starts, t_ends):
             mid = (t_starts + t_ends) * 0.5
             pts = ro[:, None, :] + rd[:, None, :] * mid[..., None]
-            out = field_fn(pts.reshape(B, -1, 3), False)
+            # "sdf" mode: the proposal density is stop-gradient'd and consumes
+            # only the SDF — 128 samples/ray of texture gathers + feature-MLP
+            # FLOPs are pure waste here (the torch reference pays them:
+            # estimators.py prop_sigma_fns call the full field)
+            out = field_fn(pts.reshape(B, -1, 3), "sdf")
             sdf = out["sdf"].reshape(n_rays, -1)
             if cfg.use_volsdf:
                 # Laplace-CDF density (reference :286-287)

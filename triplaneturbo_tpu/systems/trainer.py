@@ -397,6 +397,15 @@ class TriplaneTurboTrainer:
             def ungroup(x):
                 return x.reshape(B, M, *x.shape[2:])
 
+            if with_normal == "sdf":
+                # proposal pass: the renderer stop-gradients the density and
+                # consumes ONLY the sdf — forward_sdf skips the texture taps
+                # and the feature MLP (value-identical where consumed)
+                sdf = self.geometry.apply(
+                    params["geometry"], pts, space_cache,
+                    method=self.geometry.forward_sdf,
+                )
+                return {"sdf": ungroup(sdf)}
             if with_normal:
                 # one primal + one VJP: the sdf input-gradient (analytic
                 # normal) reuses the primal's plane taps as residuals, where a
