@@ -162,10 +162,10 @@ def test_hashgrid_encoding():
 
 
 def test_hashgrid_grad_modes_match_autodiff():
-    """Every table-gradient strategy of the custom VJP must equal plain
-    autodiff through the gather+lerp forward (same forward, no custom_vjp).
-    Mix of dense-indexed (coarse) and hashed (fine) levels, with heavy index
-    collisions (N >> coarse table sizes)."""
+    """The custom VJP must equal plain autodiff through the gather+lerp
+    forward (same forward, no custom_vjp). Mix of dense-indexed (coarse) and
+    hashed (fine) levels, with heavy index collisions (N >> coarse table
+    sizes)."""
     from triplaneturbo_tpu.ops.hashgrid import _encode_fwd_core, hashgrid_encode
 
     base = HashGridConfig(n_levels=5, log2_hashmap_size=10, base_resolution=2,
@@ -183,20 +183,17 @@ def test_hashgrid_grad_modes_match_autodiff():
 
     g_ref_t, g_ref_x = jax.grad(ref_loss, argnums=(0, 1))(table, x)
 
-    for mode in ("scatter", "sorted_scatter", "sort"):
-        cfg = HashGridConfig(n_levels=5, log2_hashmap_size=10, base_resolution=2,
-                             per_level_scale=2.0, grad_mode=mode)
-        out = hashgrid_encode(table, x, cfg)
-        np.testing.assert_allclose(
-            np.asarray(out), np.asarray(_encode_fwd_core(
-                table.reshape(-1, table.shape[-1]), x, base)), rtol=1e-6)
-        g_t, g_x = jax.grad(
-            lambda t, xx: jnp.sum(hashgrid_encode(t, xx, cfg) * cot),
-            argnums=(0, 1))(table, x)
-        np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_ref_t),
-                                   rtol=2e-4, atol=2e-4, err_msg=mode)
-        np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_ref_x),
-                                   rtol=2e-4, atol=2e-4, err_msg=mode)
+    out = hashgrid_encode(table, x, base)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_encode_fwd_core(
+            table.reshape(-1, table.shape[-1]), x, base)), rtol=1e-6)
+    g_t, g_x = jax.grad(
+        lambda t, xx: jnp.sum(hashgrid_encode(t, xx, base) * cot),
+        argnums=(0, 1))(table, x)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_ref_t),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_ref_x),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_hashgrid_dense_levels_are_collision_free():

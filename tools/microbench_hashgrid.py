@@ -1,13 +1,14 @@
 #!/usr/bin/env python
-"""Pick the hashgrid table-gradient strategy on the real chip.
+"""Time the hashgrid encode fwd/bwd and its raw primitives on the real chip.
 
-The background hashgrid backward is ~840 ms of the 1.4 s mesh-branch student
-backward at the v1 recipe's pixel count (benchmarks/render_bisect_r4_bgexp.txt)
-— 16.8M trilinear-corner scatter-adds into the 8 x 2^19 x 2 table, with
-massive collisions on coarse levels. This times each grad_mode of
-ops/hashgrid.py end-to-end at that exact scale (N = 4 x 256^2 dirs), plus the
-raw primitives (sort, cumsum, colliding vs unique scatter) so the winner's
-cost structure is explained, not guessed.
+The background hashgrid backward was suspected to dominate the mesh-branch
+student backward (benchmarks/render_bisect_r4_bgexp.txt) — 16.8M
+trilinear-corner scatter-adds into the 8 x 2^19 x 2 table. This times the
+encode end-to-end at that exact scale (N = 4 x 256^2 dirs), plus the raw
+primitives (sort, cumsum, colliding vs unique scatter). The r5 run settled
+the grad-strategy question (plain scatter won; losers deleted) and showed
+the encode is only ~280 ms of the 1018 ms background fwd+bwd — the rest is
+the hypernet MLP (benchmarks/microbench_hashgrid_r5.txt).
 
 Usage: python tools/microbench_hashgrid.py
 """
@@ -64,15 +65,15 @@ def main() -> None:
     print(f"# N={N}, L={L}, T=2^{base.log2_hashmap_size}, F={F}, "
           f"updates={N * L * 8 / 1e6:.1f}M")
 
-    # end-to-end encode fwd / fwd+bwd per grad mode
+    # end-to-end encode fwd / fwd+bwd (r5 measured: plain scatter 232 ms beat
+    # sorted_scatter 239 ms and scatter-free sort 405 ms at this scale, so the
+    # loser strategies were deleted — benchmarks/microbench_hashgrid_r5.txt)
     timeit("encode fwd", lambda t: hashgrid_encode(t, x, base).sum(), table)
-    for mode in ("scatter", "sorted_scatter", "sort"):
-        cfg = HashGridConfig(grad_mode=mode)
-        timeit(
-            f"encode fwd+bwd [{mode}]",
-            jax.grad(lambda t: jnp.sum(hashgrid_encode(t, x, cfg) * cot)),
-            table,
-        )
+    timeit(
+        "encode fwd+bwd [scatter]",
+        jax.grad(lambda t: jnp.sum(hashgrid_encode(t, x, base) * cot)),
+        table,
+    )
 
     # dense packed level alone (fwd and fwd+bwd) at the finest dense res
     res5 = base.resolutions[5]

@@ -21,12 +21,14 @@ pixel count, benchmarks/render_bisect_r4_bgexp.txt):
   autodiff backward is one 8F-row scatter per query plus slice adjoints.
   Random row-gathers on v5e cost ~10 ns each regardless of row width
   (CLAUDE.md), so this cuts both directions ~8x on those levels.
-- Hashed levels go through a custom VJP whose table gradient strategy is
-  selectable (``HashGridConfig.grad_mode``): "scatter" (plain XLA
-  scatter-add), "sorted_scatter" (one global sort of (row, update) pairs,
-  then a scatter-add with the sorted hint), or "sort" (fully scatter-free:
-  sort, segment sums via cumsum differences, two unique-index placement
-  scatters). All exact; picked by tools/microbench_hashgrid.py on chip.
+- Hashed levels go through a custom VJP whose table gradient is a plain XLA
+  scatter-add. Two scatter-free alternatives (global sort + segment sums via
+  cumsum differences; sort + sorted-hint scatter) were implemented and
+  measured on the v5e at the production query count
+  (benchmarks/microbench_hashgrid_r5.txt, 262k queries / 16.8M updates):
+  scatter 232 ms, sorted_scatter 239 ms, sort 405 ms fwd+bwd — the plain
+  scatter strictly dominates, so the losers were deleted (r5; they live in
+  git history before this commit if ever needed at other scales).
 """
 
 from __future__ import annotations
@@ -54,8 +56,6 @@ class HashGridConfig:
     log2_hashmap_size: int = 19
     base_resolution: int = 4
     per_level_scale: float = 1.8114473285278132
-    # hashed-level table-gradient strategy (see module docstring)
-    grad_mode: str = "scatter"
 
     @property
     def n_output_dims(self) -> int:
@@ -172,51 +172,10 @@ def _hashed_indices_weights(x: jax.Array, cfg: HashGridConfig):
 
 
 def _table_grad_scatter(g_lvl, idx, w, shape):
-    """Plain XLA scatter-add of all corner updates (baseline)."""
+    """Plain XLA scatter-add of all corner updates (measured-best on v5e —
+    see module docstring)."""
     upd = (w[..., None] * g_lvl[:, :, None, :]).reshape(-1, shape[1])
     return jnp.zeros(shape, jnp.float32).at[idx.reshape(-1)].add(upd)
-
-
-def _sorted_updates(g_lvl, idx, w, F):
-    upd = (w[..., None] * g_lvl[:, :, None, :]).reshape(-1, F)
-    keys = idx.reshape(-1)
-    sort_ops = jax.lax.sort(
-        (keys,) + tuple(upd[:, f] for f in range(F)), num_keys=1
-    )
-    return sort_ops[0], jnp.stack(sort_ops[1:], axis=-1).astype(jnp.float32)
-
-
-def _table_grad_sort(g_lvl, idx, w, shape):
-    """Scatter-free table gradient: sort updates by row, then recover each
-    row's segment sum as a difference of two inclusive-cumsum reads placed by
-    two UNIQUE-index scatters (no collision handling, no gathers).
-
-    grad[t] = csum[end_t] - (csum[start_t] - vals[start_t]); every table row
-    is one contiguous run after the sort, so end/start positions are unique
-    per row. Non-boundary positions are masked to an out-of-bounds index and
-    dropped."""
-    S, F = shape
-    skeys, svals = _sorted_updates(g_lvl, idx, w, F)
-    csum = jnp.cumsum(svals, axis=0)  # (M, F)
-    change = skeys[1:] != skeys[:-1]
-    is_end = jnp.concatenate([change, jnp.ones((1,), bool)])
-    is_start = jnp.concatenate([jnp.ones((1,), bool), change])
-    out = jnp.zeros(shape, jnp.float32)
-    out = out.at[jnp.where(is_end, skeys, S)].add(
-        csum, mode="drop", unique_indices=True
-    )
-    out = out.at[jnp.where(is_start, skeys, S)].add(
-        svals - csum, mode="drop", unique_indices=True
-    )
-    return out
-
-
-def _table_grad_sorted_scatter(g_lvl, idx, w, shape):
-    """Sort, then one plain scatter-add with the sorted-indices hint (lets
-    XLA's lowering segment the colliding updates)."""
-    skeys, svals = _sorted_updates(g_lvl, idx, w, shape[1])
-    out = jnp.zeros(shape, jnp.float32)
-    return out.at[skeys].add(svals, indices_are_sorted=True)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -238,12 +197,7 @@ def _hashed_encode_bwd(cfg, res, g):
     idx, w = _hashed_indices_weights(x, cfg)  # (N, Lh, 8)
     g_lvl = g.astype(jnp.float32)  # (N, Lh, F)
 
-    if cfg.grad_mode == "sort":
-        d_flat = _table_grad_sort(g_lvl, idx, w, (L * T, F))
-    elif cfg.grad_mode == "sorted_scatter":
-        d_flat = _table_grad_sorted_scatter(g_lvl, idx, w, (L * T, F))
-    else:
-        d_flat = _table_grad_scatter(g_lvl, idx, w, (L * T, F))
+    d_flat = _table_grad_scatter(g_lvl, idx, w, (L * T, F))
     d_table = d_flat.reshape(L, T, F).astype(table.dtype)
 
     # d_x: differentiate the lerp weights (the table rows are linear taps)
