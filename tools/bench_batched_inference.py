@@ -45,8 +45,13 @@ def main() -> None:
     results = {}
     for B in (1, 4, 8):
         t0 = time.time()
-        out = pipe(prompt, num_results_per_prompt=B, key=key)
-        sync(out)
+        try:
+            out = pipe(prompt, num_results_per_prompt=B, key=key)
+            sync(out)
+        except Exception as e:  # e.g. HBM OOM at the largest batch
+            results[f"B{B}"] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+            print(f"# B={B}: FAILED {type(e).__name__}", file=sys.stderr)
+            continue
         compile_s = time.time() - t0
         times = []
         for i in range(3):
