@@ -84,10 +84,13 @@ def _render_views_jit(
     v_nrm = mesh.vertex_normals()
     bg = jnp.ones((height, width, 3)) * jnp.asarray(bg_color)
 
-    frames = []
     vh = jnp.concatenate([v_pos, jnp.ones_like(v_pos[:, :1])], axis=-1)
-    for v in range(n_views):
-        clip = vh @ mvp[v].T
+
+    def one_view(_, mvp_v):
+        # scan (not a Python loop): the per-view rasterize graph is large at
+        # 512² and unrolling 4 copies OOM-kills the memory-capped remote
+        # compile helper (CLAUDE.md) — scanning compiles the body once
+        clip = vh @ mvp_v.T
         # eval meshes can have big triangles (unlike MC output) — allow a
         # face to span the full tile grid so nothing silently truncates
         rast = rasterize(
@@ -98,12 +101,14 @@ def _render_views_jit(
         if lambertian:
             nrm = interpolate(v_nrm, rast, mesh.t_pos_idx)
             # headlight along the camera ray: shade by |n·view|
-            cam_dir = -mvp[v][2, :3] / jnp.linalg.norm(mvp[v][2, :3])
+            cam_dir = -mvp_v[2, :3] / jnp.linalg.norm(mvp_v[2, :3])
             lam = jnp.abs((nrm * cam_dir).sum(-1, keepdims=True))
             rgb = rgb * (0.3 + 0.7 * lam)
         img = jnp.where(rast.mask[..., None], rgb, bg)
-        frames.append(antialias(img, rast, bg))
-    return jnp.clip(jnp.stack(frames), 0.0, 1.0)
+        return None, antialias(img, rast, bg)
+
+    _, frames = jax.lax.scan(one_view, None, mvp)
+    return jnp.clip(frames, 0.0, 1.0)
 
 
 def render_mesh_views(
