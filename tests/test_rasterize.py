@@ -328,3 +328,44 @@ def test_collapsed_face_cannot_win_pixels():
     gr = jax.grad(loss)(v[:, :3])
     assert bool(jnp.isfinite(gr).all())
     assert float(jnp.abs(gr[:3]).max()) > 0, "real face must keep its gradient"
+
+
+def test_big_face_list_renders_full_span():
+    """A triangle spanning many more tiles than max_span renders fully when
+    big_face_cap>0 (the global big-face list every tile tests), and the span
+    diagnostic counts only DROPPED big faces. Without the list, far tiles are
+    lost (the r5 eval-renderer failure mode: raising max_span instead puts
+    F*span^2 entries into the bin sort)."""
+    # image-sized triangle: spans all 8x8 tiles at 64^2 / tile=8
+    verts = jnp.asarray([[-4.0, -4.0, 0.5], [4.0, -4.0, 0.5], [0.0, 4.0, 0.5]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    clip = clipspace(verts, mvp_identity())
+
+    out_trunc = rasterize(clip, faces, None, 64, 64, tile=8, faces_per_tile=16)
+    out_big = rasterize(
+        clip, faces, None, 64, 64, tile=8, faces_per_tile=16, big_face_cap=8
+    )
+    cov_trunc = int(np.asarray(out_trunc.mask).sum())
+    cov_big = int(np.asarray(out_big.mask).sum())
+    # the full triangle covers ~half the image; span-4 truncation keeps only
+    # the lower-left 32x32-px corner of its bbox
+    assert cov_big > cov_trunc, (cov_big, cov_trunc)
+    assert cov_big > 0.4 * 64 * 64
+    assert int(out_big.n_span_overflow) == 0  # listed, not dropped
+    assert int(out_trunc.n_span_overflow) == 1
+
+    # depth test still holds between a big face and a closer small face
+    verts2 = jnp.asarray(
+        [[-4.0, -4.0, 0.8], [4.0, -4.0, 0.8], [0.0, 4.0, 0.8],
+         [-0.2, -0.2, 0.1], [0.2, -0.2, 0.1], [0.0, 0.2, 0.1]]
+    )
+    faces2 = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    out2 = rasterize(
+        clipspace(verts2, mvp_identity()), faces2, None, 64, 64, tile=8,
+        faces_per_tile=16, big_face_cap=8,
+    )
+    fid = np.asarray(out2.face_id)
+    assert (fid == 1).sum() > 0, "small front face lost"
+    assert (fid == 0).sum() > (fid == 1).sum(), "big back face lost"
+    center = fid[30:34, 30:34]
+    assert (center == 1).all(), "front face must win the depth test"

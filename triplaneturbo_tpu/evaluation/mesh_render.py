@@ -91,11 +91,16 @@ def _render_views_jit(
         # 512² and unrolling 4 copies OOM-kills the memory-capped remote
         # compile helper (CLAUDE.md) — scanning compiles the body once
         clip = vh @ mvp_v.T
-        # eval meshes can have big triangles (unlike MC output) — allow a
-        # face to span the full tile grid so nothing silently truncates
+        # span-4 binning + global big-face list: kire-normalized MC meshes
+        # project to ~1 px triangles at 512² (160³ grid, bound 0.9, radius-3
+        # rig), so 4 tiles per axis covers the bulk; the rare image-sized
+        # triangle (test geometry, imported OBJs) goes to the big-face list
+        # every tile tests. Raising max_span instead costs F·span² sort
+        # entries — span=H/16 put 201M pairs into lax.sort and OOM-killed
+        # the memory-capped remote compile helper.
         rast = rasterize(
             clip, mesh.t_pos_idx, mesh.t_mask, height, width,
-            faces_per_tile=faces_per_tile, max_span=max(height, width) // 16,
+            faces_per_tile=faces_per_tile, max_span=4, big_face_cap=256,
         )
         rgb = interpolate(v_rgb, rast, mesh.t_pos_idx)
         if lambertian:
@@ -119,7 +124,7 @@ def render_mesh_views(
     elevation_deg: float = -15.0,
     bg_color=(1.0, 1.0, 1.0),
     lambertian: bool = True,
-    faces_per_tile: int = 4096,
+    faces_per_tile: int = 2048,
 ) -> jnp.ndarray:
     """Render vertex-colored mesh turntable views, [V, H, W, 3] in [0,1].
 

@@ -60,10 +60,23 @@ def _bin_faces(
     tile: int,
     cap: int,
     max_span: int = 4,
+    big_cap: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Fixed-capacity per-tile face lists, [n_tiles, cap] int32 (-1 = empty).
+    """Fixed-capacity per-tile face lists, [n_tiles, cap(+big_cap)] int32
+    (-1 = empty).
 
-    Also returns (n_span_overflow, n_list_overflow) scalar diagnostics."""
+    ``big_cap > 0`` adds a global list of up to ``big_cap`` faces whose bbox
+    spans more than ``max_span`` tiles on either axis, appended (broadcast)
+    to EVERY tile's list. This keeps the bin sort at F·span² entries while
+    still rendering image-sized triangles (eval meshes, test geometry):
+    raising ``max_span`` instead costs F·span² sort entries — span=H/16 at
+    512² put 201M pairs into ``lax.sort`` and OOM-killed the memory-capped
+    remote compile helper. MC meshes have ~zero such faces, so the extra
+    ``big_cap`` select work is the only cost.
+
+    Also returns (n_span_overflow, n_list_overflow) scalar diagnostics; with
+    ``big_cap > 0``, span overflow counts only big faces DROPPED beyond
+    ``big_cap`` (the listed ones render fully)."""
     th, tw = H // tile, W // tile
     n_tiles = th * tw
     F = xy.shape[0]
@@ -77,6 +90,9 @@ def _bin_faces(
     # are tiny — large spans only happen for close-up/degenerate faces.
     # Callers rendering big triangles (eval meshes) raise max_span.
     MAX_SPAN = max_span  # per axis -> MAX_SPAN^2 tile slots per face
+    is_big = valid & (
+        (hi[:, 0] - lo[:, 0] >= MAX_SPAN) | (hi[:, 1] - lo[:, 1] >= MAX_SPAN)
+    )
     dxs = jnp.arange(MAX_SPAN)
     dys = jnp.arange(MAX_SPAN)
     tx = lo[:, 0:1] + dxs[None, :]  # [F, S]
@@ -87,6 +103,9 @@ def _bin_faces(
         ty[:, None, :] * tw + tx[:, :, None]
     )  # [F, S, S] (x-major slot grid, value = tile id)
     ok = (in_x[:, :, None] & in_y[:, None, :]) & valid[:, None, None]
+    if big_cap > 0:
+        # big faces go to the global list instead of (truncated) tile bins
+        ok = ok & ~is_big[:, None, None]
     tid = jnp.where(ok, tid, n_tiles)  # overflow sentinel tile
 
     tid_flat = tid.reshape(-1)  # [F * S * S]
@@ -113,13 +132,25 @@ def _bin_faces(
     bins = jnp.full((n_tiles * cap + 1,), -1, jnp.int32)
     bins = bins.at[dest].set(fid_sorted.astype(jnp.int32), mode="drop")
 
-    # diagnostics: faces whose bbox exceeds the static span (their far tiles
-    # are silently skipped) and in-capacity entries dropped by the list cap
-    n_span_overflow = jnp.sum(
-        valid & ((hi[:, 0] - lo[:, 0] >= MAX_SPAN) | (hi[:, 1] - lo[:, 1] >= MAX_SPAN))
-    ).astype(jnp.int32)
+    bins = bins[:-1].reshape(n_tiles, cap)
     n_list_overflow = jnp.sum((tid_sorted < n_tiles) & (rank >= cap)).astype(jnp.int32)
-    return bins[:-1].reshape(n_tiles, cap), n_span_overflow, n_list_overflow
+    n_big = jnp.sum(is_big).astype(jnp.int32)
+    if big_cap > 0:
+        # compact big-face ids to a fixed-capacity global list (sort moves
+        # the F sentinels of non-big faces to the back), broadcast to every
+        # tile's list so the select pass tests them everywhere
+        bc = min(big_cap, F)  # a mesh with F < big_cap faces needs only F slots
+        big_sorted = jnp.sort(jnp.where(is_big, jnp.arange(F, dtype=jnp.int32), F))
+        big_list = big_sorted[:bc]
+        big_list = jnp.where(big_list < F, big_list, -1)
+        bins = jnp.concatenate(
+            [bins, jnp.broadcast_to(big_list[None, :], (n_tiles, bc))], axis=1
+        )
+        n_span_overflow = jnp.maximum(n_big - bc, 0)
+    else:
+        # faces whose bbox exceeds the static span lose their far tiles
+        n_span_overflow = n_big
+    return bins, n_span_overflow, n_list_overflow
 
 
 def rasterize(
@@ -132,13 +163,15 @@ def rasterize(
     faces_per_tile: int = 512,
     max_span: int = 4,
     select_chunk: int = 128,
+    big_face_cap: int = 0,
 ) -> RasterOut:
     """Rasterize one view. Differentiable w.r.t. verts through bary + depth
     and, via ``edge_dist``/:func:`antialias`, through silhouette coverage.
 
     ``select_chunk`` bounds the winner-select scan's transient size
     ([n_tiles, select_chunk, tile²] per edge function); it does not change
-    results."""
+    results. ``big_face_cap`` enables the global big-face list (see
+    :func:`_bin_faces`) for meshes with triangles spanning many tiles."""
     V = verts_clip.shape[0]
     F = faces.shape[0]
     if face_valid is None:
@@ -177,7 +210,8 @@ def rasterize(
     valid = face_valid & front & nondegenerate
 
     bins, n_span_ovf, n_list_ovf = _bin_faces(
-        jax.lax.stop_gradient(tri_xy), valid, H, W, tile, faces_per_tile, max_span
+        jax.lax.stop_gradient(tri_xy), valid, H, W, tile, faces_per_tile, max_span,
+        big_cap=big_face_cap,
     )
     th, tw = H // tile, W // tile
     T = th * tw
