@@ -283,3 +283,36 @@ def test_schedule_is_zero():
     assert not schedule_is_zero([0, 1.0, 0.0, 20000])  # ramps down, nonzero
     assert schedule_is_zero([0, 0.0, 0.0, 20000])
     assert not schedule_is_zero([0, 0.0, 0.0, 5000, 1.0, 20000])  # milestone
+
+
+def test_rigid_inverse_and_constant_folded_rig():
+    """camera.rigid_inverse must equal the true inverse of rigid c2w
+    matrices, and the kire eval rig must stay finite and eager-equal when
+    built INSIDE a jit program. Regression: get_mvp_matrix used general
+    jnp.linalg.inv, and XLA's compile-time constant folder evaluated the
+    batched LU of the constant camera rig through an unpivoted path — NaN
+    mvp at azimuth 2pi and a silently-garbage finite inverse at pi/2
+    (camera inside the mesh), on both TPU and CPU backends. The analytic
+    rigid inverse constant-folds exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from triplaneturbo_tpu.evaluation.mesh_render import kire_camera_rig
+    from triplaneturbo_tpu.utils.camera import camera_to_world, rigid_inverse
+
+    # rigid_inverse == true inverse on the worst-case axis-aligned azimuths
+    azim = jnp.asarray(np.deg2rad([90.0, 180.0, 270.0, 360.0]))
+    elev = jnp.asarray(np.deg2rad(np.full(4, -15.0)))
+    c2w = camera_to_world(elev, azim, jnp.full((4,), 3.0))
+    inv = np.asarray(rigid_inverse(c2w))
+    for i in range(4):
+        np.testing.assert_allclose(
+            inv[i] @ np.asarray(c2w)[i], np.eye(4), atol=1e-6
+        )
+
+    # constant-folded rig (the eval renderer builds it inside jit) must be
+    # finite and match the eager value for every view
+    eager = np.asarray(kire_camera_rig(4))
+    folded = np.asarray(jax.jit(lambda: kire_camera_rig(4))())
+    assert np.isfinite(folded).all()
+    np.testing.assert_allclose(folded, eager, atol=1e-5)

@@ -234,7 +234,7 @@ def main() -> None:
             gbn_raw = jnp2.stack(gbn_list) + inj["gbn_raw"]
             mask = jnp2.stack(mask_list).astype(jnp2.float32)[..., None]
             gbn = safe_normalize(gbn_raw) + inj["gbn"]
-            w2c_rot = jnp2.linalg.inv(batch["c2w"])[:, :3, :3]
+            w2c_rot = jnp2.swapaxes(batch["c2w"][:, :3, :3], -1, -2)
             n_cam = jnp2.einsum("vhwc,vkc->vhwk", gbn, w2c_rot)
             n_cam = n_cam * jnp2.asarray([-1.0, 1.0, 1.0]) + inj["n_cam_in"]
             n_cam = safe_normalize(n_cam)

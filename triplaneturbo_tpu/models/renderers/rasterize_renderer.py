@@ -216,7 +216,8 @@ class GenerativeSpaceMeshRasterizeRenderer:
             out["comp_normal"] = ((gb_normal + 1.0) / 2.0) * mask  # in [0,1]
 
             if cfg.normal_direction == "camera" and c2w is not None:
-                w2c_rot = jnp.linalg.inv(c2w[sl])[:, :3, :3]
+                # rigid c2w: inverse rotation = transpose (see camera.rigid_inverse)
+                w2c_rot = jnp.swapaxes(c2w[sl][:, :3, :3], -1, -2)
                 n_cam = jnp.einsum("vhwc,vkc->vhwk", gb_normal, w2c_rot)
                 n_cam = n_cam * jnp.asarray([-1.0, 1.0, 1.0])
                 n_cam = safe_normalize(n_cam)

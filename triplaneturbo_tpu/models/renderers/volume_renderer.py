@@ -236,7 +236,8 @@ class GenerativeSpaceSDFVolumeRenderer(nn.Module):
 
         if cfg.normal_direction == "camera" and c2w is not None:
             # camera-space normal visualization (:481-506)
-            w2c = jnp.linalg.inv(c2w)[:, :3, :3]
+            # rigid c2w: inverse rotation = transpose (see camera.rigid_inverse)
+            w2c = jnp.swapaxes(c2w[:, :3, :3], -1, -2)
             n_cam = jnp.einsum("bnc,bkc->bnk", comp_normal.reshape(B, -1, 3), w2c)
             n_cam = n_cam * jnp.asarray([-1.0, 1.0, 1.0])
             n_cam = n_cam.reshape(n_rays, 3)

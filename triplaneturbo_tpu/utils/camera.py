@@ -105,9 +105,35 @@ def get_projection_matrix(fovy: jax.Array, aspect: float, near: float, far: floa
     return proj
 
 
+def rigid_inverse(c2w: jax.Array) -> jax.Array:
+    """Analytic inverse of a rigid transform [..., 4, 4]: (R, t)⁻¹ = (Rᵀ, -Rᵀt).
+
+    NOT a micro-optimization of ``jnp.linalg.inv``: general LU on a
+    camera-to-world matrix is numerically fragile when the rotation has
+    near-zero entries (axis-aligned azimuths like 90°/180°/270°/360° produce
+    |sin| ~ 1e-7 float32 residues), and XLA's compile-time constant folder
+    evaluates the batched inverse of constant camera rigs through an
+    unpivoted path — measured on both TPU and CPU backends producing NaN
+    (azimuth 2π) and silently-garbage finite inverses (azimuth π/2: camera
+    placed inside the mesh) for the kire eval rig. The analytic form is
+    exact for orthonormal R, constant-folds safely, and avoids the LU
+    custom call entirely."""
+    R = c2w[..., :3, :3]
+    t = c2w[..., :3, 3:]
+    Rt = jnp.swapaxes(R, -1, -2)
+    top = jnp.concatenate([Rt, -(Rt @ t)], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], c2w.dtype), top.shape[:-2] + (1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def get_mvp_matrix(c2w: jax.Array, proj: jax.Array) -> jax.Array:
-    """[B, 4, 4] model-view-projection = proj @ inverse(c2w)."""
-    w2c = jnp.linalg.inv(c2w)
+    """[B, 4, 4] model-view-projection = proj @ inverse(c2w).
+
+    The inverse is the analytic rigid inverse (see :func:`rigid_inverse` for
+    why general LU is wrong here)."""
+    w2c = rigid_inverse(c2w)
     return jnp.einsum("bij,bjk->bik", proj, w2c)
 
 
