@@ -16,11 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.rasterize import antialias, interpolate, rasterize
-from ..utils.camera import (
-    camera_to_world,
-    get_mvp_matrix,
-    get_projection_matrix,
-)
+from ..utils.camera import camera_rig_np
 from ..utils.mesh import Mesh
 
 
@@ -47,21 +43,26 @@ def kire_normalize_mesh(
 
 
 def kire_camera_rig(n_views: int = 4, elevation_deg: float = -15.0, radius: float = 3.0, fovy_deg: float = 50.0):
-    """The mesh_visualize camera rig.
+    """The mesh_visualize camera rig, [n_views, 4, 4] mvp.
 
     CLI-pinned values (reference evaluation/mesh_visualize.py:38-41):
     4 azimuths, elevation -15°, 512², front +y (view 0 = azimuth 90°, see the
     `(azi - 90) % 360` rename at :31-34). Remaining values are kiuikit's
     kire defaults (kiui/render.py argparse): radius=3, fovy=50°, with the
     OrbitCamera near=0.01. Meshes must be kire-normalized first
-    (:func:`kire_normalize_mesh`)."""
-    azim = np.deg2rad(np.linspace(0, 360, n_views, endpoint=False) + 90.0)  # front +y
-    elev = np.deg2rad(np.full(n_views, elevation_deg))
-    dist = np.full(n_views, radius)
-    c2w = camera_to_world(jnp.asarray(elev), jnp.asarray(azim), jnp.asarray(dist))
-    fovy = jnp.full((n_views,), np.deg2rad(fovy_deg))
-    proj = get_projection_matrix(fovy, 1.0, 0.01, 100.0)
-    return get_mvp_matrix(c2w, proj)
+    (:func:`kire_normalize_mesh`).
+
+    Computed host-side in NumPy (``camera_rig_np``): this rig is a constant
+    inside the jitted renderer, and on this environment's backends XLA's
+    compile-time constant folder corrupts constant camera math expressed as
+    traced ops (NaN mvp at azimuth 2π → view 3 rendered empty in every eval
+    grid, garbage inverse at π/2 → camera inside the mesh). A NumPy literal
+    cannot be folded wrong."""
+    azim = np.linspace(0, 360, n_views, endpoint=False) + 90.0  # front +y
+    elev = np.full(n_views, elevation_deg)
+    return jnp.asarray(
+        camera_rig_np(elev, azim, radius, fovy_deg, 1.0, 0.01, 100.0)
+    )
 
 
 import functools

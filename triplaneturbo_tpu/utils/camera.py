@@ -105,6 +105,64 @@ def get_projection_matrix(fovy: jax.Array, aspect: float, near: float, far: floa
     return proj
 
 
+def camera_rig_np(
+    elevation_deg,
+    azimuth_deg,
+    radius,
+    fovy_deg,
+    aspect: float = 1.0,
+    near: float = 0.01,
+    far: float = 100.0,
+    up_world=(0.0, 0.0, 1.0),
+):
+    """Host-side (NumPy, float64) twin of camera_to_world + projection + mvp
+    for CONSTANT camera rigs, returned as float32 ndarray [B, 4, 4].
+
+    Use this — not the traced jnp path — whenever the rig is a compile-time
+    constant (eval turntables, fixed validation cameras). Measured on this
+    environment's backends: XLA's compile-time constant folder corrupts
+    constant camera math that is expressed as traced ops — the batched LU of
+    ``jnp.linalg.inv`` folds unpivoted (NaN at azimuth 2π on TPU and CPU),
+    and the tunneled TPU backend's folder additionally NaNs
+    ``camera_to_world`` itself on the last batch element. A NumPy-computed
+    rig embeds as a literal, which no folding pass can touch."""
+    import numpy as np
+
+    elev = np.deg2rad(np.asarray(elevation_deg, np.float64))
+    azim = np.deg2rad(np.asarray(azimuth_deg, np.float64))
+    dist = np.broadcast_to(np.asarray(radius, np.float64), elev.shape)
+    B = elev.shape[0]
+    pos = np.stack(
+        [
+            dist * np.cos(elev) * np.cos(azim),
+            dist * np.cos(elev) * np.sin(azim),
+            dist * np.sin(elev),
+        ],
+        axis=-1,
+    )
+    up = np.broadcast_to(np.asarray(up_world, np.float64), (B, 3))
+    lookat = -pos / np.linalg.norm(pos, axis=-1, keepdims=True)
+    right = np.cross(lookat, up)
+    right = right / np.linalg.norm(right, axis=-1, keepdims=True)
+    up2 = np.cross(right, lookat)
+    R = np.stack([right, up2, -lookat], axis=-1)  # [B, 3, 3] columns
+    # rigid inverse: w2c = (R^T, -R^T t)
+    Rt = np.swapaxes(R, -1, -2)
+    w2c = np.zeros((B, 4, 4))
+    w2c[:, :3, :3] = Rt
+    w2c[:, :3, 3] = -np.einsum("bij,bj->bi", Rt, pos)
+    w2c[:, 3, 3] = 1.0
+    f = 1.0 / np.tan(np.deg2rad(np.asarray(fovy_deg, np.float64)) / 2.0)
+    f = np.broadcast_to(f, (B,))
+    proj = np.zeros((B, 4, 4))
+    proj[:, 0, 0] = f / aspect
+    proj[:, 1, 1] = -f  # y-down images (threestudio/utils/ops.py:346-365)
+    proj[:, 2, 2] = -(far + near) / (far - near)
+    proj[:, 2, 3] = -2.0 * far * near / (far - near)
+    proj[:, 3, 2] = -1.0
+    return np.einsum("bij,bjk->bik", proj, w2c).astype(np.float32)
+
+
 def rigid_inverse(c2w: jax.Array) -> jax.Array:
     """Analytic inverse of a rigid transform [..., 4, 4]: (R, t)⁻¹ = (Rᵀ, -Rᵀt).
 
