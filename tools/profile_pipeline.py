@@ -98,7 +98,39 @@ def main():
     print(f"  export colorize ({verts.shape[0]} vert slots): {t_exp*1e3:.1f} ms")
 
     # per-UNet-step estimate
-    print(f"  => 4-step UNet ~ {(t_sample - t_text - t_dec)*1e3:.1f} ms ({(t_sample - t_text - t_dec)/4*1e3:.1f} ms/step)")
+    t_unet = t_sample - t_text - t_dec
+    print(f"  => 4-step UNet ~ {t_unet*1e3:.1f} ms ({t_unet/4*1e3:.1f} ms/step)")
+
+    import json
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "profile_pipeline_r5.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "metric": "inference_stage_profile",
+                "device": "1x TPU v5e (tunneled)",
+                "dispatch_read_baseline_ms": round(t_null * 1e3, 1),
+                "single_dispatch_full_ms": round(t_one * 1e3, 1),
+                "sample_ms": round(t_sample * 1e3, 1),
+                "extract_ms": round(t_extract * 1e3, 1),
+                "text_encoder_ms": round(t_text * 1e3, 1),
+                "vae_decode_ms": round(t_dec * 1e3, 1),
+                "unet_4step_ms": round(t_unet * 1e3, 1),
+                "field_on_grid_ms": round(t_fog * 1e3, 1),
+                "marching_tets_ms": round(t_mt * 1e3, 1),
+                "export_colorize_ms": round(t_exp * 1e3, 1),
+                "note": "stage times each include the dispatch+read baseline "
+                "(~28 ms host transfer); sub-stages are timed as separate jit "
+                "programs so they do not sum exactly to the fused single-"
+                "dispatch pipeline, which XLA fuses and overlaps.",
+            },
+            f,
+            indent=1,
+        )
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
